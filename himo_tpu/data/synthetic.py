@@ -1,0 +1,248 @@
+"""Synthetic multi-LiDAR scenes with analytically known flow & compensation.
+
+The reference ships no test fixtures (SURVEY.md §4); this module is the test
+pyramid's foundation: scenes with known rigid ego motion and constant-velocity
+box objects, where GT flow, compensation distance, and the de-skewed cloud are
+all known in closed form.
+
+Physics of a generated sweep (matching the autolabeler convention at
+dataprocess/extract_sca.py:95-145):
+- A point on an object with world-frame velocity ``v`` captured at intra-sweep
+  time ``dt`` appears at ``base + v * dt`` — the rolling-shutter distortion.
+- Stored GT ``flow`` = pose flow + object velocity * sweep_dt (ego frame).
+- Therefore motion flow = ``flow - pose_flow`` = ``v_ego * sweep_dt`` and
+  ``comp_dis = v_ego * dt0``; the refined cloud is the object's undistorted
+  shape at sweep end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import h5py
+import numpy as np
+
+from himo_tpu.core import categories as cat
+from himo_tpu.core.transforms import pose_from_yaw_xy, relative_pose
+from himo_tpu.data.index import create_reading_index, extract_eval_index
+from himo_tpu.data.schema import FrameData, write_frame
+
+SWEEP_DT = 0.1  # 10 Hz sensors
+
+
+@dataclasses.dataclass
+class BoxObject:
+    """A constant-velocity box object sampled as a surface point cloud."""
+
+    center: np.ndarray  # (3,) world position at scene t=0
+    velocity: np.ndarray  # (3,) world m/s
+    size: np.ndarray  # (3,) l, w, h
+    category: str = "REGULAR_VEHICLE"
+    points_per_frame: int = 400
+
+
+def _sample_box_points(rng, n: int, size: np.ndarray) -> np.ndarray:
+    """Sample points on the surface of an axis-aligned box centered at origin."""
+    pts = rng.uniform(-0.5, 0.5, size=(n, 3)) * size
+    # Push each point to a random face so the cloud looks like a LiDAR shell.
+    face_axis = rng.integers(0, 3, size=n)
+    face_sign = rng.choice([-1.0, 1.0], size=n)
+    pts[np.arange(n), face_axis] = 0.5 * size[face_axis] * face_sign
+    return pts
+
+
+def make_scene(
+    output_dir,
+    scene_id: str = "scene_000",
+    num_frames: int = 5,
+    num_background: int = 4000,
+    objects: Optional[Sequence[BoxObject]] = None,
+    ego_speed: float = 15.0,
+    ego_yaw_rate: float = 0.02,
+    num_lidars: int = 3,
+    seed: int = 0,
+    method_flows=(),
+    method_noise: float = 0.0,
+) -> Path:
+    """Write a synthetic scene .h5 and return its path.
+
+    ``method_flows`` adds estimated-flow fields: either a mapping
+    ``{name: noise_std}`` or a sequence of names which all use
+    ``method_noise``. Each field is the exact GT flow plus Gaussian noise of
+    the given std (0 -> a 'perfect' estimator whose MPE/CDE must evaluate to
+    ~0, the GT-vs-GT self-consistency gate of SURVEY.md §4).
+    """
+    if not isinstance(method_flows, dict):
+        method_flows = {
+            m: (0.0 if m == "perfect" else method_noise) for m in method_flows
+        }
+    rng = np.random.default_rng(seed)
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    if objects is None:
+        objects = [
+            BoxObject(
+                center=np.array([25.0, 5.0, 1.0]),
+                velocity=np.array([22.0, 0.5, 0.0]),
+                size=np.array([4.5, 2.0, 1.6]),
+                category="REGULAR_VEHICLE",
+            ),
+            BoxObject(
+                center=np.array([15.0, -8.0, 1.5]),
+                velocity=np.array([-15.0, 0.0, 0.0]),
+                size=np.array([9.0, 2.6, 3.2]),
+                category="TRUCK",
+            ),
+        ]
+
+    # Static background: annulus around the ego trajectory.
+    bg_radius = rng.uniform(6.0, 40.0, size=num_background)
+    bg_angle = rng.uniform(0, 2 * np.pi, size=num_background)
+    bg_world = np.stack(
+        [
+            bg_radius * np.cos(bg_angle),
+            bg_radius * np.sin(bg_angle),
+            rng.uniform(-0.2, 4.0, size=num_background),
+        ],
+        axis=1,
+    )
+    bg_ground = rng.random(num_background) < 0.3
+    bg_world[bg_ground, 2] = rng.uniform(-0.05, 0.05, size=int(bg_ground.sum()))
+
+    frames: List[FrameData] = []
+    poses = []
+    base_ts = 1_700_000_000_000_000_000  # ns epoch, AV2-style timestamp keys
+    for fi in range(num_frames):
+        t = fi * SWEEP_DT
+        yaw = ego_yaw_rate * t
+        x = ego_speed * t
+        y = 0.0
+        poses.append(pose_from_yaw_xy(yaw, x, y))
+
+    for fi in range(num_frames):
+        t = fi * SWEEP_DT
+        pose0 = poses[fi]
+        inv_pose0 = np.linalg.inv(pose0)
+
+        # --- background points (static world) ---
+        n_bg = num_background
+        bg_dt = rng.uniform(0.0, SWEEP_DT, size=n_bg).astype(np.float32)
+        bg_pts_world = bg_world  # static: capture time does not move them
+        chunks = [bg_pts_world]
+        dts = [bg_dt]
+        ids = [rng.integers(1, num_lidars + 1, size=n_bg).astype(np.uint8)]
+        inst = [np.zeros(n_bg, dtype=np.uint32)]
+        cats = [np.zeros(n_bg, dtype=np.uint8)]
+        vels = [np.zeros((n_bg, 3))]
+        ground = [bg_ground]
+
+        # --- object points (distorted by capture time) ---
+        for oi, obj in enumerate(objects):
+            n = obj.points_per_frame
+            local = _sample_box_points(rng, n, obj.size)
+            obj_dt = rng.uniform(0.0, SWEEP_DT, size=n).astype(np.float32)
+            base = obj.center + obj.velocity * t
+            world = base + local + obj.velocity[None, :] * obj_dt[:, None]
+            chunks.append(world)
+            dts.append(obj_dt)
+            ids.append(rng.integers(1, num_lidars + 1, size=n).astype(np.uint8))
+            inst.append(np.full(n, oi + 1, dtype=np.uint32))
+            cats.append(
+                np.full(n, cat.CATEGORY_TO_INDEX[cat.NAME_MAPPING[obj.category]], np.uint8)
+            )
+            vels.append(np.tile(obj.velocity, (n, 1)))
+            ground.append(np.zeros(n, dtype=bool))
+
+        world_pts = np.concatenate(chunks).astype(np.float64)
+        lidar_dt = np.concatenate(dts).astype(np.float32)
+        lidar_id = np.concatenate(ids)
+        instance_id = np.concatenate(inst)
+        category_idx = np.concatenate(cats)
+        velocity = np.concatenate(vels)
+        ground_mask = np.concatenate(ground)
+
+        # Into ego0 frame.
+        pc0 = (world_pts @ inv_pose0[:3, :3].T + inv_pose0[:3, 3]).astype(np.float32)
+        intensity = rng.random(len(pc0)).astype(np.float32)
+        lidar = np.concatenate([pc0, intensity[:, None]], axis=1)
+
+        # GT flow: pose flow + per-point object velocity (rotated into ego0).
+        pose1 = poses[min(fi + 1, num_frames - 1)]
+        ego1_T_ego0 = relative_pose(pose0, pose1)
+        pflow = (
+            pc0[:, :3] @ ego1_T_ego0[:3, :3].T + ego1_T_ego0[:3, 3] - pc0[:, :3]
+        ).astype(np.float32)
+        vel_ego0 = (velocity @ inv_pose0[:3, :3].T).astype(np.float32)
+        flow = pflow + vel_ego0 * SWEEP_DT
+
+        extras = {}
+        for m, noise_std in method_flows.items():
+            noise = (
+                rng.normal(0.0, noise_std, size=flow.shape).astype(np.float32)
+                if noise_std > 0
+                else 0.0
+            )
+            extras[m] = (flow + noise).astype(np.float32)
+
+        frames.append(
+            FrameData(
+                lidar=lidar,
+                lidar_id=lidar_id,
+                lidar_dt=lidar_dt,
+                pose=poses[fi],
+                timestamp=base_ts + int(t * 1e9),
+                lidar_center=np.tile(np.eye(4, dtype=np.float32), (num_lidars, 1, 1)),
+                flow=flow,
+                flow_is_valid=np.ones(len(pc0), dtype=bool),
+                flow_category_indices=category_idx,
+                flow_instance_id=instance_id,
+                ego_motion=ego1_T_ego0.astype(np.float32),
+                ground_mask=ground_mask,
+                extras=extras,
+            )
+        )
+
+    scene_path = output_dir / f"{scene_id}.h5"
+    if scene_path.exists():
+        scene_path.unlink()
+    with h5py.File(scene_path, "w") as f:
+        for frame in frames:
+            write_frame(f, frame)
+    return scene_path
+
+
+def make_dataset(
+    output_dir,
+    num_scenes: int = 2,
+    num_frames: int = 5,
+    seed: int = 0,
+    **scene_kwargs,
+) -> Path:
+    """Write a full synthetic dataset: scenes + index_total.pkl + index_eval.pkl.
+
+    The eval index excludes each scene's final frame (no successor pose).
+    """
+    output_dir = Path(output_dir)
+    for si in range(num_scenes):
+        make_scene(
+            output_dir,
+            scene_id=f"scene_{si:03d}",
+            num_frames=num_frames,
+            seed=seed + si,
+            **scene_kwargs,
+        )
+    total = create_reading_index(output_dir, save=True)
+    eval_entries = []
+    last_by_scene = {}
+    for scene_id, ts in total:
+        last_by_scene[scene_id] = ts
+    for scene_id, ts in total:
+        if ts != last_by_scene[scene_id]:
+            eval_entries.append([scene_id, ts])
+    from himo_tpu.data.index import save_index, INDEX_EVAL
+
+    save_index(eval_entries, output_dir, INDEX_EVAL)
+    return output_dir
