@@ -1,0 +1,77 @@
+"""Leaderboard scorer tests: GT-vs-GT ~0 gate and scorer/eval agreement."""
+
+import numpy as np
+import pytest
+
+from himo_tpu.cli.save_zip import main as save_zip_main
+from himo_tpu.cli.save_zip_gt import main as save_zip_gt_main
+from himo_tpu.eval.score import score
+
+
+@pytest.fixture(scope="module")
+def archives(tmp_path_factory):
+    from himo_tpu.data.synthetic import make_dataset
+
+    root = tmp_path_factory.mktemp("score") / "av2_demo"
+    make_dataset(
+        root,
+        num_scenes=1,
+        num_frames=4,
+        seed=3,
+        method_flows={"perfect": 0.0, "noisy": 0.05},
+    )
+    gt_zip = save_zip_gt_main(
+        data_dir=str(root), output_dir=str(root / "gt_out"), res_name="flow"
+    )
+    pred_zip = save_zip_main(data_dir=str(root), res_name="noisy")
+    perfect_zip = save_zip_main(data_dir=str(root), res_name="perfect")
+    return {"root": root, "gt": gt_zip, "noisy": pred_zip, "perfect": perfect_zip}
+
+
+def test_gt_vs_gt_scores_zero(archives, tmp_path):
+    scores = score(archives["gt"], archives["gt"], output_dir=str(tmp_path))
+    assert scores["mpe"] < 1e-6
+    assert scores["chamfer"] < 1e-6
+    assert scores["num_frames"] == 3
+    assert (tmp_path / "scores.json").exists()
+    assert (tmp_path / "res-av2.json").exists()
+
+
+def test_perfect_prediction_scores_zero(archives):
+    scores = score(archives["gt"], archives["perfect"])
+    assert scores["mpe"] < 1e-6
+
+
+def test_noisy_worse_than_perfect(archives):
+    noisy = score(archives["gt"], archives["noisy"])
+    perfect = score(archives["gt"], archives["perfect"])
+    assert noisy["mpe"] > perfect["mpe"]
+    assert noisy["mpe"] > 0.01
+    assert noisy["car_num_pts"] > 0
+    assert noisy["others_num_pts"] > 0
+
+
+def test_scorer_matches_instance_metrics(archives, tmp_path, monkeypatch):
+    """Zip-based scoring must agree with flow-mode eval on MPE (the scorer
+    documents itself as matching eval.py exactly — score.py:203-208)."""
+    monkeypatch.chdir(tmp_path)
+    from himo_tpu.cli.eval import main as eval_main
+
+    flow_mode = eval_main(data_dir=str(archives["root"]), res_name="noisy")
+    zip_mode = score(archives["gt"], archives["noisy"])
+    assert zip_mode["mpe"] == pytest.approx(flow_mode.total_summary()["mpe"], rel=1e-5)
+
+
+def test_missing_sweep_warns_and_continues(archives, capsys):
+    import shutil
+    from zipfile import ZipFile
+
+    partial = str(archives["root"] / "partial.zip")
+    with ZipFile(archives["noisy"]) as src, ZipFile(partial, "w") as dst:
+        names = src.namelist()
+        for name in names[1:]:  # drop the first sweep
+            dst.writestr(name, src.read(name))
+    scores = score(archives["gt"], partial)
+    out = capsys.readouterr().out
+    assert "Missing prediction" in out
+    assert scores["num_frames"] == 2
