@@ -1,0 +1,238 @@
+"""Feed-forward scene-flow networks: FastFlow3D / DeFlow(++) — the SeFlow++
+architecture (SeFlow++ = DeFlow++ net + SSL training, reference
+assets/slurm/ssl-train-av2.sh:31-34: ``model=deflowpp``).
+
+TPU-first design:
+- PointPillars-style dynamic voxelization via segment reductions (no CUDA
+  scatter; :mod:`himo_tpu.ops.voxelize`), grid 512x512 @ 0.2 m matching the
+  reference training config (``voxel_size=[0.2,0.2,6]``,
+  ``point_cloud_range=[-51.2,...]``).
+- NHWC convolutional UNet backbone — large batched convs on the MXU.
+- Per-point decoders gather pillar features back and run dense MLP / GRU
+  stacks over N-point batches (matmuls, MXU again).
+- Everything static-shape: padded clouds + valid masks end to end.
+
+Two sweeps (pc0 ego-compensated into the pc1 frame, plus pc1) build two
+pseudo-images that the backbone consumes concatenated; a third history sweep
+(``num_frames=3``, the ++ variants) adds one more.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from himo_tpu.models.registry import register_estimator
+from himo_tpu.ops.voxelize import PillarConfig, gather_pillars, scatter_max, voxelize_pillars
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowNetConfig:
+    pillar: PillarConfig = PillarConfig()
+    point_feat_dim: int = 32
+    base_channels: int = 32
+    depths: Tuple[int, ...] = (64, 128, 256)
+    decoder: str = "deflow"  # 'linear' (FastFlow3D) | 'deflow' (GRU)
+    gru_iters: int = 4
+    num_frames: int = 2
+    dtype: str = "float32"  # 'bfloat16' for inference/training speed
+
+
+class PointFeatureNet(nn.Module):
+    """Per-point embedding before pillar pooling (PFN-lite)."""
+
+    dim: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, points, offsets):
+        # features: xyz, offset-to-pillar-center, radial distance
+        r = jnp.linalg.norm(points[:, :2], axis=1, keepdims=True)
+        x = jnp.concatenate([points[:, :3], offsets, r], axis=1).astype(self.dtype)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class ConvBlock(nn.Module):
+    channels: int
+    dtype: jnp.dtype
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.channels, (3, 3), strides=(self.stride, self.stride), dtype=self.dtype
+        )(x)
+        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=8, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class UNet(nn.Module):
+    """Pseudo-image backbone with skip connections."""
+
+    depths: Sequence[int]
+    out_channels: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for ch in self.depths:
+            x = ConvBlock(ch, self.dtype, stride=2)(x)
+            skips.append(x)
+        for ch, skip in zip(reversed(self.depths), reversed(skips)):
+            if x is not skip:
+                h, w = skip.shape[-3], skip.shape[-2]
+                x = jax.image.resize(x, (*x.shape[:-3], h, w, x.shape[-1]), "nearest")
+                x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvBlock(ch, self.dtype)(x)
+        full = x.shape[-3] * 2, x.shape[-2] * 2
+        x = jax.image.resize(x, (*x.shape[:-3], *full, x.shape[-1]), "nearest")
+        x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class DeFlowGRUDecoder(nn.Module):
+    """Iterative voxel-to-point refinement (DeFlow-style GRU)."""
+
+    hidden: int
+    iters: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, pillar_feat, point_feat):
+        h = nn.Dense(self.hidden, dtype=self.dtype)(pillar_feat)
+        inp = nn.Dense(self.hidden, dtype=self.dtype)(point_feat)
+        gru = nn.GRUCell(features=self.hidden, dtype=self.dtype)
+        for _ in range(self.iters):
+            h, _ = gru(h, inp)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(h)
+        x = nn.relu(x)
+        return nn.Dense(3, dtype=jnp.float32)(x)
+
+
+class LinearDecoder(nn.Module):
+    """FastFlow3D-style MLP decoder."""
+
+    hidden: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, pillar_feat, point_feat):
+        x = jnp.concatenate([pillar_feat, point_feat], axis=-1)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(3, dtype=jnp.float32)(x)
+
+
+class SceneFlowNet(nn.Module):
+    """Full network: pillars -> UNet -> per-point flow for sweep 0."""
+
+    config: FlowNetConfig
+
+    @nn.compact
+    def __call__(self, sweeps, valids):
+        """
+        Args:
+            sweeps: tuple of (N_i, 3) clouds — (pc0_comp, pc1[, pc_hist]);
+                flow is predicted for sweeps[0].
+            valids: matching validity masks.
+        """
+        cfg = self.config
+        dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+        pfn = PointFeatureNet(cfg.point_feat_dim, dtype)
+
+        images = []
+        grids = []
+        feats = []
+        for pc, valid in zip(sweeps, valids):
+            grid = voxelize_pillars(pc, valid, cfg.pillar)
+            f = pfn(pc, grid.centers_offset)
+            f = jnp.where(grid.in_range[:, None], f, 0.0)
+            images.append(scatter_max(f, grid))
+            grids.append(grid)
+            feats.append(f)
+
+        x = jnp.concatenate(images, axis=-1).astype(dtype)
+        out_img = UNet(cfg.depths, cfg.base_channels * 2, dtype)(x)
+
+        pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)
+        point_feat = feats[0]
+        if cfg.decoder == "deflow":
+            flow = DeFlowGRUDecoder(cfg.base_channels * 2, cfg.gru_iters, dtype)(
+                pillar_feat, point_feat
+            )
+        else:
+            flow = LinearDecoder(cfg.base_channels * 2, dtype)(pillar_feat, point_feat)
+        return jnp.where(valids[0][:, None], flow.astype(jnp.float32), 0.0)
+
+
+def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
+    presets = {
+        "fastflow3d": dict(decoder="linear", num_frames=2),
+        "deflow": dict(decoder="deflow", num_frames=2),
+        "deflowpp": dict(decoder="deflow", num_frames=3),
+        "seflowpp": dict(decoder="deflow", num_frames=3),
+        "seflow": dict(decoder="deflow", num_frames=2),
+    }
+    if name not in presets:
+        raise KeyError(f"unknown feed-forward model {name!r}")
+    kwargs = {**presets[name], **overrides}
+    config = FlowNetConfig(**kwargs)
+    return SceneFlowNet(config), config
+
+
+def init_params(model: SceneFlowNet, key, num_points: int = 1024):
+    n_sweeps = model.config.num_frames
+    sweeps = tuple(jnp.zeros((num_points, 3)) for _ in range(n_sweeps))
+    valids = tuple(jnp.ones((num_points,), bool) for _ in range(n_sweeps))
+    return model.init(key, sweeps, valids)
+
+
+def _feedforward_estimator(name: str):
+    """Registry adapter: feed-forward models need trained params; the
+    estimator closes over (model, params) loaded from a checkpoint."""
+
+    def factory(checkpoint: Optional[str] = None, params=None, **overrides):
+        model, config = make_model(name, **overrides)
+        if params is None:
+            if checkpoint is None:
+                raise ValueError(
+                    f"feed-forward estimator {name!r} needs checkpoint= or params="
+                )
+            from himo_tpu.training.checkpoints import load_checkpoint
+
+            params = load_checkpoint(checkpoint)["params"]
+
+        @jax.jit
+        def estimate(pc0, pc1, valid0, valid1, key=None, history=None):
+            sweeps = [pc0[:, :3], pc1[:, :3]]
+            valids = [valid0, valid1]
+            if config.num_frames >= 3:
+                if history is None:
+                    sweeps.append(jnp.zeros_like(pc0[:, :3]))
+                    valids.append(jnp.zeros_like(valid0))
+                else:
+                    sweeps.append(history[0][:, :3])
+                    valids.append(history[1])
+            flow = model.apply(params, tuple(sweeps), tuple(valids))
+            return flow, jnp.zeros(())
+
+        return estimate
+
+    return factory
+
+
+for _name in ("fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp"):
+    register_estimator(_name)(_feedforward_estimator(_name))

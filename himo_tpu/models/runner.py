@@ -1,0 +1,109 @@
+"""Run a flow estimator over a dataset and write results into the .h5 scenes.
+
+This is the surface of the reference's OpenSceneFlow ``save.py`` CLI
+(README.md:46-53): per-frame (N, 3) float32 TOTAL flow (ego motion included)
+stored in the frame group under the method name, which ``eval.py`` /
+``save_zip.py`` then consume as ``data[res_name]``.
+
+Estimation happens in the ego-compensated frame: pc0 is first warped by the
+pose flow into the pc1 frame, the estimator recovers the residual (object)
+motion between static-aligned clouds, and the stored flow is
+``pose_flow + residual``. Ground points are excluded from estimation (they
+carry pure pose flow).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from tqdm import tqdm
+
+from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.data.dataset import SceneFlowDataset
+from himo_tpu.data.padding import bucket_size
+from himo_tpu.data.schema import write_method_flow
+from himo_tpu.models.registry import get_estimator
+from himo_tpu.utils.profiling import Timer
+
+
+def _pad_cloud(xyz: np.ndarray, valid: np.ndarray, target: int):
+    n = len(xyz)
+    out = np.zeros((target, 3), dtype=np.float32)
+    out[:n] = xyz[:, :3]
+    v = np.zeros(target, dtype=bool)
+    v[:n] = valid
+    return out, v
+
+
+def estimate_scene_flow(
+    data_dir: str,
+    model: str = "fastnsf",
+    output_key: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    seed: int = 0,
+    verbose: bool = True,
+    **overrides,
+) -> Dict[str, float]:
+    """Estimate flow for every frame pair and write it back to the scenes.
+
+    Returns throughput stats (frames, points, seconds).
+    """
+    kwargs = dict(overrides)
+    if checkpoint is not None:
+        kwargs["checkpoint"] = checkpoint
+    estimator = get_estimator(model, **kwargs)
+    output_key = output_key or model
+
+    dataset = SceneFlowDataset(data_dir, with_pc1=True)
+    key = jax.random.PRNGKey(seed)
+    timer = Timer()
+    total_points = 0
+    frames = 0
+    start = time.perf_counter()
+
+    iterator = range(len(dataset))
+    if verbose:
+        iterator = tqdm(iterator, ncols=100, desc=f"Estimating {model} on {data_dir}")
+    for i in iterator:
+        with timer("load"):
+            data = dataset[i]
+        # Scene-final frames have pose1 == pose0 and pc1 == pc0; skip them
+        # (no successor to estimate against), matching eval-index exclusion.
+        if np.array_equal(data["pose0"], data["pose1"]) and i == len(dataset) - 1:
+            continue
+        xyz0 = data["pc0"][:, :3]
+        xyz1 = data["pc1"][:, :3]
+        with timer("prep"):
+            pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+            pc0_comp = xyz0 + pflow
+            target = bucket_size(max(len(xyz0), len(xyz1)))
+            p0, v0 = _pad_cloud(pc0_comp, ~data["gm0"], target)
+            p1, v1 = _pad_cloud(xyz1, ~data["gm1"], target)
+        key, sub = jax.random.split(key)
+        with timer("estimate"):
+            residual, loss = estimator(p0, p1, v0, v1, sub)
+            residual = np.asarray(residual)[: len(xyz0)]
+        total = (pflow + residual).astype(np.float32)
+        with timer("write"):
+            write_method_flow(
+                data_dir, data["scene_id"], data["timestamp"], output_key, total
+            )
+        total_points += len(xyz0)
+        frames += 1
+
+    elapsed = time.perf_counter() - start
+    if verbose:
+        timer.print_summary()
+        print(
+            f"{model}: {frames} frames, {total_points} points in {elapsed:.2f}s "
+            f"({total_points / max(elapsed, 1e-9) / 1e6:.2f} M pts/s)"
+        )
+    return {
+        "frames": frames,
+        "points": total_points,
+        "seconds": elapsed,
+        "points_per_sec": total_points / max(elapsed, 1e-9),
+    }

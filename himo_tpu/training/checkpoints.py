@@ -1,0 +1,59 @@
+"""Checkpoint save/restore (orbax) — the reference's ``checkpoint=...ckpt``
+surface (README.md:50) backed by TPU-native storage.
+
+A checkpoint is a pytree dict, typically ``{"params": ..., "opt_state": ...,
+"step": int, "config": {...}}``. Orbax handles sharded arrays transparently,
+so the same call works single-chip and across a mesh.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path, tree: Dict[str, Any]) -> str:
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    return str(path)
+
+
+def load_checkpoint(path, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    path = Path(path).absolute()
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if target is not None:
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(target))
+        return ckptr.restore(path)
+
+
+class CheckpointManager:
+    """Top-k checkpoint retention, mirroring the reference training setup
+    (``save_top_model=3``, assets/slurm/ssl-train-av2.sh:32)."""
+
+    def __init__(self, directory, keep: int = 3):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+        )
+
+    def save(self, step: int, tree: Dict[str, Any], metrics: Optional[dict] = None):
+        self.manager.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
+        self.manager.wait_until_finished()
+
+    def restore_latest(self, target=None):
+        step = self.manager.latest_step()
+        if step is None:
+            return None, None
+        if target is not None:
+            tree = self.manager.restore(step, args=ocp.args.PyTreeRestore(target))
+        else:
+            tree = self.manager.restore(step)
+        return step, tree
+
+    def close(self):
+        self.manager.close()

@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
+import jax  # noqa: E402
+
+# The environment's TPU plugin overrides JAX_PLATFORMS at import time; the
+# config flag set post-import wins, so force CPU explicitly for tests.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,153 @@
+"""Flow estimator tests on small synthetic frame pairs (CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from himo_tpu.models.fastnsf import FastNSFConfig, fastnsf_flow
+from himo_tpu.models.nsfp import NSFPConfig, nsfp_flow
+from himo_tpu.ops.dt import DTConfig
+
+
+def _toy_pair(rng, n_static=600, n_obj=200, obj_shift=(1.5, 0.0, 0.0)):
+    """Static scatter + one rigidly moving blob; pads to 1024.
+
+    The static clutter lives in the x < 0 half-space so the nearest pc1
+    structure to the (displaced) blob is unambiguously the blob itself —
+    chamfer/DT losses are only well-posed when correspondence is."""
+    static = rng.uniform(-12, 0, size=(n_static, 3)).astype(np.float32)
+    static[:, 1] = rng.uniform(-10, 10, size=n_static)
+    static[:, 2] = rng.uniform(0, 2, size=n_static)
+    blob0 = (rng.normal(scale=0.8, size=(n_obj, 3)) + [6.0, 3.0, 1.0]).astype(
+        np.float32
+    )
+    blob1 = blob0 + np.asarray(obj_shift, dtype=np.float32)
+    pc0 = np.concatenate([static, blob0])
+    pc1 = np.concatenate([static, blob1])
+    n = len(pc0)
+    target = 1024
+    p0 = np.zeros((target, 3), np.float32)
+    p1 = np.zeros((target, 3), np.float32)
+    p0[:n] = pc0
+    p1[:n] = pc1
+    v = np.zeros(target, bool)
+    v[:n] = True
+    gt = np.zeros((target, 3), np.float32)
+    gt[n_static:n] = obj_shift
+    return p0, p1, v, gt, n_static, n
+
+
+SMALL_DT = DTConfig(
+    x_range=(-16.0, 16.0),
+    y_range=(-16.0, 16.0),
+    z_range=(-2.0, 4.0),
+    voxel_size=(0.25, 0.25, 0.25),
+)
+
+
+class TestFastNSF:
+    def test_recovers_object_motion(self, rng):
+        p0, p1, v, gt, n_static, n = _toy_pair(rng)
+        cfg = FastNSFConfig(hidden=64, layers=4, iterations=200, lr=0.01, dt=SMALL_DT)
+        flow, loss = fastnsf_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=cfg)
+        flow = np.asarray(flow)
+        obj_flow = flow[n_static:n]
+        err = np.linalg.norm(obj_flow - gt[n_static:n], axis=1)
+        # Mean EPE on the moving blob well below the 1.5 m motion.
+        assert err.mean() < 0.5
+        assert float(loss) < 0.2
+        # Padded rows must get zero flow.
+        np.testing.assert_allclose(flow[n:], 0.0)
+
+    def test_loss_decreases(self, rng):
+        p0, p1, v, gt, _, _ = _toy_pair(rng)
+        short = FastNSFConfig(hidden=32, layers=2, iterations=5, dt=SMALL_DT)
+        longer = FastNSFConfig(hidden=32, layers=2, iterations=120, dt=SMALL_DT)
+        _, l0 = fastnsf_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=short)
+        _, l1 = fastnsf_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=longer)
+        assert float(l1) < float(l0)
+
+
+class TestNSFP:
+    def test_recovers_object_motion(self, rng):
+        p0, p1, v, gt, n_static, n = _toy_pair(rng)
+        cfg = NSFPConfig(hidden=64, layers=4, iterations=120, lr=0.01)
+        flow, loss = nsfp_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=cfg)
+        obj_err = np.linalg.norm(
+            np.asarray(flow)[n_static:n] - gt[n_static:n], axis=1
+        )
+        assert obj_err.mean() < 0.6
+
+
+class TestFeedForward:
+    @pytest.mark.parametrize("name", ["fastflow3d", "deflow", "seflowpp"])
+    def test_forward_shapes(self, name, rng):
+        from himo_tpu.models.feedforward import init_params, make_model
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        small_pillar = PillarConfig(
+            x_range=(-12.8, 12.8), y_range=(-12.8, 12.8), voxel_size=(0.4, 0.4)
+        )
+        model, config = make_model(name, pillar=small_pillar, depths=(16, 32))
+        params = init_params(model, jax.random.PRNGKey(0), num_points=512)
+        sweeps = tuple(
+            jnp.asarray(rng.uniform(-10, 10, size=(512, 3)), jnp.float32)
+            for _ in range(config.num_frames)
+        )
+        valids = tuple(jnp.ones((512,), bool) for _ in range(config.num_frames))
+        flow = model.apply(params, sweeps, valids)
+        assert flow.shape == (512, 3)
+        assert np.all(np.isfinite(np.asarray(flow)))
+
+    def test_invalid_points_get_zero_flow(self, rng):
+        from himo_tpu.models.feedforward import init_params, make_model
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        model, config = make_model(
+            "fastflow3d",
+            pillar=PillarConfig(
+                x_range=(-12.8, 12.8), y_range=(-12.8, 12.8), voxel_size=(0.4, 0.4)
+            ),
+            depths=(16, 32),
+        )
+        params = init_params(model, jax.random.PRNGKey(0), num_points=256)
+        sweeps = tuple(
+            jnp.asarray(rng.uniform(-10, 10, size=(256, 3)), jnp.float32)
+            for _ in range(2)
+        )
+        valid0 = jnp.asarray(np.arange(256) < 100)
+        valids = (valid0, jnp.ones((256,), bool))
+        flow = np.asarray(model.apply(params, sweeps, valids))
+        np.testing.assert_allclose(flow[100:], 0.0)
+
+
+def test_runner_end_to_end(tmp_path, rng):
+    """save(model=fastnsf) -> eval(res_name=fastnsf) beats raw."""
+    from himo_tpu.cli.eval import main as eval_main
+    from himo_tpu.models.runner import estimate_scene_flow
+    from himo_tpu.data.synthetic import make_dataset
+
+    root = tmp_path / "av2_mini"
+    make_dataset(root, num_scenes=1, num_frames=3, seed=11, num_background=1500)
+    stats = estimate_scene_flow(
+        str(root),
+        model="fastnsf",
+        iterations=150,
+        dt=SMALL_DT,
+        hidden=64,
+        layers=4,
+        verbose=False,
+    )
+    assert stats["frames"] == 2
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        est = eval_main(data_dir=str(root), res_name="fastnsf").total_summary()
+        raw = eval_main(data_dir=str(root), res_name="raw").total_summary()
+    finally:
+        os.chdir(cwd)
+    assert est is not None and raw is not None
+    assert est["mpe"] < raw["mpe"]
