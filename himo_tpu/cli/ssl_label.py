@@ -1,0 +1,22 @@
+"""Generate SSL pseudo-labels (dynamic masks + clusters) for a dataset.
+
+The ``+ssl_label=seflowpp_auto`` surface of the reference training recipe
+(assets/slurm/ssl-train-av2.sh:33):
+
+    python -m himo_tpu.cli.ssl_label dataset_path=/path/to/av2
+"""
+
+from __future__ import annotations
+
+from himo_tpu.training.ssl_labels import write_ssl_labels
+from himo_tpu.utils.cli import run_cli
+
+
+def main(dataset_path: str = "", threshold: float = 0.18):
+    n = write_ssl_labels(dataset_path, threshold=threshold)
+    print(f"Labeled {n} frames in {dataset_path}")
+    return n
+
+
+if __name__ == "__main__":
+    run_cli(main)

@@ -38,6 +38,7 @@ class SceneFlowDataset:
         vis_name: str | Sequence[str] = "",
         eval: bool = False,  # noqa: A002 - matching the reference kwarg
         with_pc1: bool = False,
+        with_history: bool = False,
         extra_keys: Sequence[str] = (),
     ):
         self.directory = Path(data_dir)
@@ -45,6 +46,7 @@ class SceneFlowDataset:
             [vis_name] if isinstance(vis_name, str) and vis_name else list(vis_name or [])
         )
         self.with_pc1 = with_pc1
+        self.with_history = with_history
         self.extra_keys = list(extra_keys)
 
         total_path = self.directory / INDEX_TOTAL
@@ -79,6 +81,14 @@ class SceneFlowDataset:
         scene_id = self.data_index[index][0]
         nxt = self.data_index[index + 1]
         return nxt if nxt[0] == scene_id else None
+
+    def _prev_entry(self, index: int) -> Optional[list]:
+        """The previous frame of the same scene, or None at a scene start."""
+        if index == 0:
+            return None
+        scene_id = self.data_index[index][0]
+        prv = self.data_index[index - 1]
+        return prv if prv[0] == scene_id else None
 
     def __len__(self) -> int:
         return len(self.eval_index if self.eval_index is not None else self.data_index)
@@ -131,6 +141,22 @@ class SceneFlowDataset:
                 if self.with_pc1:
                     out["pc1"] = out["pc0"]
                     out["gm1"] = out["gm0"]
+
+            if self.with_history:
+                prv = self._prev_entry(index)
+                if prv is not None:
+                    gp = f[str(prv[1])]
+                    out["pc_prev"] = gp["lidar"][()].astype(np.float32)
+                    out["pose_prev"] = gp["pose"][()]
+                    out["gm_prev"] = (
+                        gp["ground_mask"][()].astype(bool)
+                        if "ground_mask" in gp
+                        else np.zeros(len(out["pc_prev"]), dtype=bool)
+                    )
+                else:
+                    out["pc_prev"] = out["pc0"]
+                    out["pose_prev"] = out["pose0"]
+                    out["gm_prev"] = out["gm0"]
         return out
 
     def scene_ids(self) -> List[str]:

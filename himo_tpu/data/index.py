@@ -41,10 +41,13 @@ def _timestamp_sort_key(ts: str):
 
 
 def _parse_timestamp(ts: str):
+    """Int when round-trippable; keep the raw string otherwise (group keys
+    like '000123' with leading zeros must survive index -> reader)."""
     try:
-        return int(ts)
+        value = int(ts)
     except ValueError:
         return ts
+    return value if str(value) == ts else ts
 
 
 def load_index(data_dir, name: str = INDEX_TOTAL) -> List[list]:

@@ -72,6 +72,9 @@ class FrameData:
     ground_mask: Optional[np.ndarray] = None  # (N,)
     anno_bbx: Optional[np.ndarray] = None
     extras: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+    # h5 group key; defaults to str(timestamp). Scania scenes key groups by
+    # superframe number while `timestamp` holds the epoch-ns capture time.
+    group_key: Optional[str] = None
 
     @property
     def num_points(self) -> int:
@@ -80,7 +83,7 @@ class FrameData:
 
 def write_frame(h5: h5py.File, frame: FrameData) -> None:
     """Write one frame as a group keyed by its timestamp string."""
-    group = h5.create_group(str(frame.timestamp))
+    group = h5.create_group(frame.group_key or str(frame.timestamp))
     group.create_dataset("lidar", data=frame.lidar.astype(np.float32))
     group.create_dataset("lidar_id", data=frame.lidar_id.astype(np.uint8))
     group.create_dataset("lidar_dt", data=frame.lidar_dt.astype(np.float32))

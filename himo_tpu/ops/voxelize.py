@@ -52,13 +52,16 @@ class PillarGrid(NamedTuple):
     grid_shape: Tuple[int, int]
 
 
-@partial(jax.jit, static_argnames=("config",))
 def voxelize_pillars(
     points: jax.Array,
     valid: jax.Array | None = None,
     config: PillarConfig = PillarConfig(),
 ) -> PillarGrid:
-    """Assign each point to a pillar; no scatter happens here."""
+    """Assign each point to a pillar; no scatter happens here.
+
+    Not individually jitted: callers trace it inside their own jit, which
+    keeps ``grid_shape`` a static Python tuple (a nested jit would return it
+    as traced arrays and break downstream segment reductions)."""
     h, w = config.grid_shape
     xyz = points[:, :3]
     vx, vy = config.voxel_size

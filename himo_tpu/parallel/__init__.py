@@ -1,0 +1,1 @@
+from himo_tpu.parallel.mesh import make_mesh, data_sharding, replicated  # noqa: F401

@@ -1,0 +1,261 @@
+"""Data-parallel SSL training loop for the feed-forward flow models.
+
+Implements the reference's SeFlow++ recipe (assets/slurm/ssl-train-av2.sh:31-34:
+``model=deflowpp loss_fn=seflowppLoss batch_size=8 epochs=12 lr=6e-5`` with
+StepLR(3, 0.5) and 4-GPU DDP) the TPU way:
+
+- one jitted ``train_step`` whose batch inputs carry a ``NamedSharding`` over
+  the mesh's ``data`` axis while params stay replicated — XLA inserts the
+  gradient all-reduce over ICI (no NCCL, no DDP wrapper);
+- frames padded to a fixed point budget, so one program serves every batch;
+- host-side batch building threads ahead of the device (double-buffered);
+- orbax checkpoints with top-k retention + StepLR via optax schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from functools import partial
+from typing import Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import relative_pose, transform_points
+from himo_tpu.data.dataset import SceneFlowDataset
+from himo_tpu.models.feedforward import SceneFlowNet, make_model
+from himo_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated, shard_batch
+from himo_tpu.training.checkpoints import CheckpointManager
+from himo_tpu.training.losses import SSLLossWeights, seflowpp_loss
+from himo_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: str = "seflowpp"
+    batch_size: int = 8
+    epochs: int = 12
+    lr: float = 6e-5
+    step_lr_epochs: int = 3
+    step_lr_gamma: float = 0.5
+    num_points: int = 65536  # fixed per-frame point budget
+    num_clusters: int = 64
+    max_dist: float = 2.0
+    weights: SSLLossWeights = SSLLossWeights()
+    seed: int = 0
+    keep_checkpoints: int = 3
+    log_every: int = 10
+    val_every: int = 3  # epochs (reference: val_every=3)
+
+
+# ----------------------------------------------------------------- batches
+
+
+def build_frame_arrays(data: Dict, num_points: int, num_frames: int) -> Dict:
+    """One frame -> fixed-size training arrays (host, numpy)."""
+
+    def fit(arr, fill=0):
+        out = np.full((num_points,) + arr.shape[1:], fill, dtype=arr.dtype)
+        n = min(len(arr), num_points)
+        out[:n] = arr[:n]
+        return out, n
+
+    xyz0 = data["pc0"][:, :3].astype(np.float32)
+    xyz1 = data["pc1"][:, :3].astype(np.float32)
+    pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+    pc0_comp = xyz0 + pflow
+
+    p0, n0 = fit(pc0_comp)
+    p1, n1 = fit(xyz1)
+    v0 = np.zeros(num_points, bool)
+    v0[:n0] = ~data["gm0"][:n0]
+    v1 = np.zeros(num_points, bool)
+    v1[:n1] = ~data["gm1"][:n1]
+
+    dyn0 = np.zeros(num_points, bool)
+    if "ssl_dynamic" in data:
+        dyn0[:n0] = data["ssl_dynamic"][:n0]
+    cl0 = np.zeros(num_points, np.int32)
+    if "ssl_cluster" in data:
+        cl0[:n0] = data["ssl_cluster"][:n0]
+
+    out = {
+        "pc0": p0,
+        "pc1": p1,
+        "valid0": v0,
+        "valid1": v1,
+        "dynamic0": dyn0,
+        "cluster0": cl0,
+    }
+    if num_frames >= 3:
+        xyzp = data["pc_prev"][:, :3].astype(np.float32)
+        # History sweep into the pc1 frame (prev -> next ego motion).
+        rel = relative_pose(data["pose_prev"], data["pose1"])
+        ph, nh = fit(transform_points(xyzp, rel).astype(np.float32))
+        vh = np.zeros(num_points, bool)
+        vh[:nh] = ~data["gm_prev"][:nh]
+        out["pc_hist"] = ph
+        out["valid_hist"] = vh
+    return out
+
+
+def batch_iterator(
+    dataset: SceneFlowDataset,
+    config: TrainConfig,
+    num_frames: int,
+    rng: np.random.Generator,
+    prefetch: int = 2,
+) -> Iterator[Dict]:
+    """Shuffled, threaded batch producer of stacked frame arrays."""
+    order = rng.permutation(len(dataset))
+    n_batches = len(order) // config.batch_size
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        for b in range(n_batches):
+            idxs = order[b * config.batch_size : (b + 1) * config.batch_size]
+            frames = [
+                build_frame_arrays(dataset[int(i)], config.num_points, num_frames)
+                for i in idxs
+            ]
+            batch = {
+                k: np.stack([f[k] for f in frames]) for k in frames[0]
+            }
+            q.put(batch)
+        q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            return
+        yield item
+
+
+# -------------------------------------------------------------- train step
+
+
+def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
+    num_frames = model.config.num_frames
+
+    def loss_fn(params, batch):
+        def per_frame(b):
+            sweeps = [b["pc0"], b["pc1"]]
+            valids = [b["valid0"], b["valid1"]]
+            if num_frames >= 3:
+                sweeps.append(b["pc_hist"])
+                valids.append(b["valid_hist"])
+            flow = model.apply(params, tuple(sweeps), tuple(valids))
+            return seflowpp_loss(
+                flow,
+                b["pc0"],
+                b["pc1"],
+                b["valid0"],
+                b["valid1"],
+                b["dynamic0"],
+                # pc1 dynamic mask unknown -> treat all valid pc1 as candidates
+                b["valid1"],
+                b["cluster0"],
+                num_clusters=config.num_clusters,
+                weights=config.weights,
+                max_dist=config.max_dist,
+            )
+
+        losses = jax.vmap(per_frame)(batch)
+        mean = {k: jnp.mean(v) for k, v in losses.items()}
+        return mean["total"], mean
+
+    @jax.jit
+    def train_step(params, opt_state, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_optimizer(config: TrainConfig, steps_per_epoch: int):
+    """Adam + StepLR(step_lr_epochs, step_lr_gamma)."""
+    boundaries = {}
+    for e in range(config.step_lr_epochs, config.epochs, config.step_lr_epochs):
+        boundaries[e * max(steps_per_epoch, 1)] = config.step_lr_gamma
+    schedule = optax.piecewise_constant_schedule(config.lr, boundaries)
+    return optax.adam(schedule), schedule
+
+
+# -------------------------------------------------------------------- loop
+
+
+def train(
+    data_dir: str,
+    config: TrainConfig = TrainConfig(),
+    run_dir: str = "runs/seflowpp",
+    mesh=None,
+    wandb_mode: str = "disabled",
+    model_overrides: Optional[dict] = None,
+) -> Dict:
+    """Full training run; returns final params and summary stats."""
+    model, model_config = make_model(config.model, **(model_overrides or {}))
+    num_frames = model_config.num_frames
+    dataset = SceneFlowDataset(
+        data_dir,
+        with_pc1=True,
+        with_history=num_frames >= 3,
+        extra_keys=("ssl_dynamic", "ssl_cluster"),
+    )
+    if len(dataset) < config.batch_size:
+        raise ValueError(
+            f"dataset has {len(dataset)} frames < batch_size {config.batch_size}"
+        )
+
+    mesh = mesh or make_mesh()
+    rng = np.random.default_rng(config.seed)
+    steps_per_epoch = len(dataset) // config.batch_size
+    optimizer, schedule = make_optimizer(config, steps_per_epoch)
+
+    from himo_tpu.models.feedforward import init_params
+
+    params = init_params(model, jax.random.PRNGKey(config.seed), config.num_points)
+    params = jax.device_put(params, replicated(mesh))
+    opt_state = optimizer.init(params)
+    train_step = make_train_step(model, config, optimizer)
+
+    logger = MetricsLogger(
+        run_dir,
+        wandb_mode=wandb_mode,
+        config={**dataclasses.asdict(config), "mesh": str(mesh.shape)},
+    )
+    ckpts = CheckpointManager(f"{run_dir}/ckpts", keep=config.keep_checkpoints)
+
+    step = 0
+    last_metrics: Dict[str, float] = {}
+    t0 = time.time()
+    for epoch in range(config.epochs):
+        for batch in batch_iterator(dataset, config, num_frames, rng):
+            batch = shard_batch(mesh, batch)
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+            step += 1
+            if step % config.log_every == 0 or step == 1:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                last_metrics["lr"] = float(schedule(step))
+                logger.log(last_metrics, step, prefix="train/")
+                logger.print(last_metrics, step, prefix=f"epoch {epoch} ")
+        if (epoch + 1) % config.val_every == 0 or epoch == config.epochs - 1:
+            ckpts.save(step, {"params": params, "step": step})
+    ckpts.save(step, {"params": params, "step": step})
+    ckpts.close()
+    logger.close()
+    return {
+        "params": params,
+        "steps": step,
+        "seconds": time.time() - t0,
+        "final_metrics": last_metrics,
+    }

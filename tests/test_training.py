@@ -1,0 +1,141 @@
+"""SSL losses, pseudo-labels, and the data-parallel trainer (8-dev CPU mesh)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from himo_tpu.training.losses import SSLLossWeights, seflowpp_loss
+
+
+class TestLoss:
+    def _inputs(self, rng, n=256):
+        pc0 = jnp.asarray(rng.uniform(-10, 10, size=(n, 3)), jnp.float32)
+        pc1 = pc0 + jnp.asarray([0.1, 0.0, 0.0])
+        valid = jnp.ones((n,), bool)
+        dynamic = jnp.asarray(np.arange(n) < n // 4)
+        cluster = jnp.asarray(
+            np.where(np.arange(n) < n // 4, 1 + (np.arange(n) % 3), 0), jnp.int32
+        )
+        return pc0, pc1, valid, dynamic, cluster
+
+    def test_zero_residual_on_aligned_clouds(self, rng):
+        pc0, _, valid, dynamic, cluster = self._inputs(rng)
+        flow = jnp.zeros_like(pc0)
+        losses = seflowpp_loss(
+            flow, pc0, pc0, valid, valid, dynamic, dynamic, cluster
+        )
+        assert float(losses["chamfer_dis"]) < 1e-3
+        assert float(losses["static_flow_loss"]) == 0.0
+        assert float(losses["cluster_based_pc0pc1"]) == 0.0
+
+    def test_static_loss_penalizes_flow_on_static_points(self, rng):
+        pc0, pc1, valid, dynamic, cluster = self._inputs(rng)
+        flow = jnp.ones_like(pc0) * 0.5
+        losses = seflowpp_loss(flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster)
+        assert float(losses["static_flow_loss"]) == pytest.approx(0.75, rel=1e-5)
+
+    def test_cluster_loss_zero_for_rigid_flow(self, rng):
+        pc0, pc1, valid, dynamic, cluster = self._inputs(rng)
+        # Same flow within each cluster -> rigidity term must vanish.
+        flow = jnp.asarray(np.asarray(cluster)[:, None] * 0.1, jnp.float32).repeat(3, 1)
+        losses = seflowpp_loss(flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster)
+        assert float(losses["cluster_based_pc0pc1"]) < 1e-9
+
+    def test_cluster_loss_positive_for_nonrigid_flow(self, rng):
+        pc0, pc1, valid, dynamic, cluster = self._inputs(rng)
+        flow = jnp.asarray(rng.normal(size=pc0.shape), jnp.float32)
+        losses = seflowpp_loss(flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster)
+        assert float(losses["cluster_based_pc0pc1"]) > 0.1
+
+    def test_gradient_finite(self, rng):
+        pc0, pc1, valid, dynamic, cluster = self._inputs(rng)
+
+        def total(flow):
+            return seflowpp_loss(
+                flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster
+            )["total"]
+
+        g = jax.grad(total)(jnp.zeros_like(pc0))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+class TestSSLLabels:
+    def test_dynamic_and_cluster_labels(self, rng):
+        from himo_tpu.training.ssl_labels import (
+            cluster_dynamic_points,
+            dynamic_mask_from_nn,
+        )
+
+        static = rng.uniform(-10, 0, size=(500, 3)).astype(np.float32)
+        blob = (rng.normal(scale=0.5, size=(60, 3)) + [5, 5, 1]).astype(np.float32)
+        pc0 = np.concatenate([static, blob])
+        pc1 = np.concatenate([static, blob + 2.0])  # blob moved 2m
+        dyn = dynamic_mask_from_nn(pc0, pc1, threshold=0.3)
+        assert dyn[500:].mean() > 0.9  # blob flagged dynamic
+        assert dyn[:500].mean() < 0.05  # static mostly clean
+        clusters = cluster_dynamic_points(pc0, dyn, eps=0.8, min_samples=5)
+        assert clusters[500:].max() >= 1
+        assert (clusters[:500] == 0).all()
+
+    def test_write_labels_roundtrip(self, tmp_path):
+        import h5py
+
+        from himo_tpu.data.synthetic import make_dataset
+        from himo_tpu.training.ssl_labels import write_ssl_labels
+
+        root = tmp_path / "av2_ssl"
+        make_dataset(root, num_scenes=1, num_frames=3, seed=2, num_background=1000)
+        n = write_ssl_labels(root, verbose=False)
+        assert n == 3
+        with h5py.File(next(root.glob("*.h5")), "r") as f:
+            key = sorted(f.keys())[0]
+            assert "ssl_dynamic" in f[key]
+            assert "ssl_cluster" in f[key]
+            # The two 15-22 m/s objects must be flagged dynamic.
+            dyn = f[key]["ssl_dynamic"][()]
+            inst = f[key]["flow_instance_id"][()]
+            assert dyn[inst > 0].mean() > 0.5
+
+
+@pytest.mark.slow
+def test_train_smoke_on_mesh(tmp_path, monkeypatch):
+    """Two epochs of tiny SeFlow++ on the virtual 8-device mesh."""
+    import jax
+
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.ops.voxelize import PillarConfig
+    from himo_tpu.training.ssl_labels import write_ssl_labels
+    from himo_tpu.training.trainer import TrainConfig, train
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    root = tmp_path / "av2_train"
+    make_dataset(root, num_scenes=2, num_frames=6, seed=4, num_background=800)
+    write_ssl_labels(root, verbose=False)
+
+    config = TrainConfig(
+        model="seflowpp",
+        batch_size=8,
+        epochs=2,
+        num_points=2048,
+        log_every=1,
+        lr=1e-3,
+    )
+    result = train(
+        str(root),
+        config,
+        run_dir=str(tmp_path / "run"),
+        model_overrides=dict(
+            pillar=PillarConfig(
+                x_range=(-25.6, 25.6), y_range=(-25.6, 25.6), voxel_size=(0.8, 0.8)
+            ),
+            depths=(16, 32),
+            point_feat_dim=8,
+            base_channels=8,
+        ),
+    )
+    assert result["steps"] == 2 * (10 // 8)
+    assert np.isfinite(result["final_metrics"]["total"])
+    # Checkpoints + metrics written.
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert any((tmp_path / "run" / "ckpts").iterdir())
