@@ -23,11 +23,7 @@ def register_estimator(name: str):
 
 def get_estimator(name: str, **overrides):
     """Instantiate an estimator by name; ``overrides`` feed its config."""
-    # Import lazily so registry imports stay light.
-    import himo_tpu.models.nsfp  # noqa: F401
-    import himo_tpu.models.fastnsf  # noqa: F401
-    import himo_tpu.models.feedforward  # noqa: F401
-
+    _load_builtin_estimators()
     if name not in _REGISTRY:
         raise KeyError(
             f"Unknown estimator {name!r}; available: {sorted(_REGISTRY)}"
@@ -35,9 +31,14 @@ def get_estimator(name: str, **overrides):
     return _REGISTRY[name](**overrides)
 
 
-def available_estimators():
+def _load_builtin_estimators():
+    # Imported lazily so registry imports stay light.
     import himo_tpu.models.nsfp  # noqa: F401
     import himo_tpu.models.fastnsf  # noqa: F401
+    import himo_tpu.models.icp_flow  # noqa: F401
     import himo_tpu.models.feedforward  # noqa: F401
 
+
+def available_estimators():
+    _load_builtin_estimators()
     return sorted(_REGISTRY)

@@ -138,6 +138,131 @@ def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _nn_idx_kernel(q_ref, r_ref, d_ref, i_ref):
+    """Streaming min + argmin: like _nn_kernel but also tracks the index of
+    the winning reference point (global index = tile offset + local)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    q = q_ref[:]
+    r = r_ref[:]
+    dot = jax.lax.dot_general(
+        q,
+        r,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    qn = jnp.sum(q * q, axis=1, keepdims=True)
+    rn = jnp.sum(r * r, axis=1)[None, :]
+    d2 = qn + rn - 2.0 * dot
+    tile_min = jnp.min(d2, axis=1)
+    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * _RT
+
+    @pl.when(j == 0)
+    def _():
+        d_ref[i, :] = tile_min
+        i_ref[i, :] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = tile_min < d_ref[i, :]
+        d_ref[i, :] = jnp.where(better, tile_min, d_ref[i, :])
+        i_ref[i, :] = jnp.where(better, tile_arg, i_ref[i, :])
+
+
+@jax.jit
+def _nn_argmin_padded(q: jax.Array, r: jax.Array):
+    nq, nr = q.shape[0], r.shape[0]
+    grid = (nq // _QT, nr // _RT)
+    d2, idx = pl.pallas_call(
+        _nn_idx_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((grid[0], _QT), jnp.float32),
+            jax.ShapeDtypeStruct((grid[0], _QT), jnp.int32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_QT, _K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_RT, _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (nq // _QT, _QT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (nq // _QT, _QT), lambda i, j: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+        ),
+    )(q, r)
+    return d2.reshape(-1), idx.reshape(-1)
+
+
+@jax.jit
+def _nn_argmin_xla(q: jax.Array, r: jax.Array):
+    r_tiles = r.reshape(-1, _RT, _K)
+
+    def per_query_tile(q_tile):
+        qn = jnp.sum(q_tile * q_tile, axis=1, keepdims=True)
+
+        def fold(carry, inp):
+            best_d, best_i = carry
+            r_tile, offset = inp
+            dot = jax.lax.dot_general(
+                q_tile,
+                r_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rn = jnp.sum(r_tile * r_tile, axis=1)[None, :]
+            d2 = qn + rn - 2.0 * dot
+            tile_min = jnp.min(d2, axis=1)
+            tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + offset
+            better = tile_min < best_d
+            return (
+                jnp.where(better, tile_min, best_d),
+                jnp.where(better, tile_arg, best_i),
+            ), None
+
+        init = (
+            jnp.full((q_tile.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((q_tile.shape[0],), jnp.int32),
+        )
+        offsets = jnp.arange(r_tiles.shape[0], dtype=jnp.int32) * _RT
+        (d, idx), _ = jax.lax.scan(fold, init, (r_tiles, offsets))
+        return d, idx
+
+    q_tiles = q.reshape(-1, _QT, _K)
+    d, idx = jax.lax.map(per_query_tile, q_tiles)
+    return d.reshape(-1), idx.reshape(-1)
+
+
+def nn_argmin(
+    query: jax.Array,
+    ref: jax.Array,
+    query_valid: jax.Array | None = None,
+    ref_valid: jax.Array | None = None,
+):
+    """(min squared distance, index of nearest reference point) per query.
+
+    Invalid refs never win the min race; invalid queries return (0, 0)."""
+    n = query.shape[0]
+    q = _pad_coords(query, _QT, query_valid)
+    r = _pad_coords(ref, _RT, ref_valid)
+    if _on_tpu():
+        d2, idx = _nn_argmin_padded(q, r)
+    else:
+        d2, idx = _nn_argmin_xla(q, r)
+    d2 = jnp.maximum(d2[:n], 0.0)
+    idx = jnp.minimum(idx[:n], ref.shape[0] - 1)
+    if query_valid is not None:
+        d2 = jnp.where(query_valid, d2, 0.0)
+        idx = jnp.where(query_valid, idx, 0)
+    return d2, idx
+
+
 def nn_distance_sq(
     query: jax.Array,
     ref: jax.Array,

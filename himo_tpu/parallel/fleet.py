@@ -1,0 +1,184 @@
+"""Fleet-scale de-distortion: many scenes, one mesh, overlapped IO.
+
+Replaces the reference's sequential per-frame loops (eval.py:281,
+save_zip.py:112) with a sharded batch pipeline:
+
+- frames pad to a fixed point budget and stack into batches of
+  ``frames_per_step = batch_per_device * n_data_shards``;
+- the jitted step (flow inference + fused de-skew) runs with the batch dim
+  sharded over the mesh ``data`` axis — scenes are embarrassingly parallel,
+  so no cross-device collectives are needed in inference;
+- a host thread prefetches and pads the next batch while the device computes
+  (double buffering across the tunnel/PCIe boundary).
+
+Used by the throughput bench and the batched ``save``/``save_zip`` paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import relative_pose, transform_points
+from himo_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+@dataclasses.dataclass(frozen=True)
+class FleetConfig:
+    num_points: int = 65536
+    batch_per_device: int = 1
+    prefetch: int = 2
+    sensor_dt: float = 0.1
+
+
+def _pad(arr: np.ndarray, n: int, fill=0):
+    out = np.full((n,) + arr.shape[1:], fill, dtype=arr.dtype)
+    k = min(len(arr), n)
+    out[:k] = arr[:k]
+    return out, k
+
+
+def frame_to_arrays(data: Dict, num_points: int, with_history: bool) -> Dict:
+    """One dataset frame -> fixed-size arrays for the fleet step."""
+    xyz0 = data["pc0"][:, :3].astype(np.float32)
+    xyz1 = data["pc1"][:, :3].astype(np.float32)
+    pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+    lidar_dt = data["lidar_dt"].astype(np.float32)
+    dt0 = lidar_dt.max() - lidar_dt
+
+    p0, n0 = _pad((xyz0 + pflow).astype(np.float32), num_points)
+    p1, n1 = _pad(xyz1, num_points)
+    v0 = np.zeros(num_points, bool)
+    v0[:n0] = ~data["gm0"][:n0]
+    v1 = np.zeros(num_points, bool)
+    v1[:n1] = ~data["gm1"][:n1]
+    out = {
+        "pc0": p0,
+        "pc1": p1,
+        "valid0": v0,
+        "valid1": v1,
+        "pose_flow": _pad(pflow.astype(np.float32), num_points)[0],
+        "dt0": _pad(dt0, num_points)[0],
+        "num_real": n0,
+    }
+    if with_history:
+        xyzp = data["pc_prev"][:, :3].astype(np.float32)
+        rel = relative_pose(data["pose_prev"], data["pose1"])
+        ph, nh = _pad(transform_points(xyzp, rel).astype(np.float32), num_points)
+        vh = np.zeros(num_points, bool)
+        vh[:nh] = ~data["gm_prev"][:nh]
+        out["pc_hist"] = ph
+        out["valid_hist"] = vh
+    return out
+
+
+def make_fleet_step(model, params, config: FleetConfig):
+    """Jitted batched step: flow inference + de-skew -> comp_dis, refined."""
+    num_frames = model.config.num_frames
+
+    def one(params, frame):
+        sweeps = [frame["pc0"], frame["pc1"]]
+        valids = [frame["valid0"], frame["valid1"]]
+        if num_frames >= 3:
+            sweeps.append(frame["pc_hist"])
+            valids.append(frame["valid_hist"])
+        residual = model.apply(params, tuple(sweeps), tuple(valids))
+        comp_dis = residual * (frame["dt0"] / config.sensor_dt)[:, None]
+        comp_dis = jnp.where(frame["valid0"][:, None], comp_dis, 0.0)
+        refined = frame["pc0"] + comp_dis
+        total_flow = frame["pose_flow"] + residual
+        return {"comp_dis": comp_dis, "refined": refined, "flow": total_flow}
+
+    @jax.jit
+    def step(params, batch):
+        return jax.vmap(one, in_axes=(None, 0))(params, batch)
+
+    return step
+
+
+def run_fleet(
+    dataset,
+    model,
+    params,
+    mesh=None,
+    config: FleetConfig = FleetConfig(),
+    consumer: Optional[Callable[[int, Dict, Dict], None]] = None,
+) -> Dict[str, float]:
+    """De-distort every frame of ``dataset`` across the mesh.
+
+    ``consumer(frame_index, host_arrays, outputs)`` receives per-frame
+    results (already trimmed to real points) for writing; ``None`` measures
+    throughput only.
+    """
+    mesh = mesh or make_mesh()
+    n_shards = mesh.devices.shape[0]
+    per_step = config.batch_per_device * n_shards
+    with_history = model.config.num_frames >= 3
+    step = make_fleet_step(model, params, config)
+
+    q: "queue.Queue" = queue.Queue(maxsize=config.prefetch)
+    stop = object()
+
+    def producer():
+        buf: List[Tuple[int, Dict]] = []
+        for i in range(len(dataset)):
+            buf.append((i, frame_to_arrays(dataset[i], config.num_points, with_history)))
+            if len(buf) == per_step:
+                q.put(buf)
+                buf = []
+        if buf:
+            # Pad the final partial batch by repeating its last frame.
+            while len(buf) < per_step:
+                buf.append((-1, buf[-1][1]))
+            q.put(buf)
+        q.put(stop)
+
+    threading.Thread(target=producer, daemon=True).start()
+
+    frames = 0
+    points = 0
+    start = time.perf_counter()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        indices = [i for i, _ in item]
+        stacked = {
+            k: np.stack([f[k] for _, f in item])
+            for k in item[0][1]
+            if k != "num_real"
+        }
+        outputs = step(params, shard_batch(mesh, stacked))
+        if consumer is not None:
+            outputs = jax.device_get(outputs)
+            for b, (i, host) in enumerate(item):
+                if i < 0:
+                    continue
+                n = host["num_real"]
+                consumer(
+                    i,
+                    host,
+                    {k: np.asarray(v[b][:n]) for k, v in outputs.items()},
+                )
+        for b, (i, host) in enumerate(item):
+            if i >= 0:
+                frames += 1
+                points += host["num_real"]
+    # Force completion of the last dispatched step.
+    jax.tree.map(lambda x: np.asarray(x[0, 0]), outputs) if consumer is None else None
+    elapsed = time.perf_counter() - start
+    return {
+        "frames": frames,
+        "points": points,
+        "seconds": elapsed,
+        "points_per_sec": points / max(elapsed, 1e-9),
+        "mesh_shards": n_shards,
+    }
