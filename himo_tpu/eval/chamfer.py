@@ -19,6 +19,10 @@ from scipy.spatial import cKDTree
 def chamfer_distance_host(pc1: np.ndarray, pc2: np.ndarray) -> float:
     if len(pc1) == 0 or len(pc2) == 0:
         return float("nan")
+    from himo_tpu import native
+
+    if native.available():
+        return native.chamfer(np.asarray(pc1), np.asarray(pc2))
     d12, _ = cKDTree(pc2).query(pc1, k=1)
     d21, _ = cKDTree(pc1).query(pc2, k=1)
     return float((np.nanmean(d12) + np.nanmean(d21)) / 2.0)

@@ -29,12 +29,18 @@ def dynamic_mask_from_nn(
     pc1: np.ndarray,
     threshold: float = 0.18,
 ) -> np.ndarray:
-    """Points of pc0_comp with no near neighbor in pc1 (host KD-tree)."""
-    from scipy.spatial import cKDTree
-
+    """Points of pc0_comp with no near neighbor in pc1 (host KD-tree;
+    the native C++ tree when built, scipy otherwise)."""
     if len(pc1) == 0:
         return np.zeros(len(pc0_comp), dtype=bool)
-    d, _ = cKDTree(pc1[:, :3]).query(pc0_comp[:, :3], k=1)
+    from himo_tpu import native
+
+    if native.available():
+        d, _ = native.KDTree(pc1[:, :3]).query(pc0_comp[:, :3])
+    else:
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(pc1[:, :3]).query(pc0_comp[:, :3], k=1)
     return d > threshold
 
 
