@@ -201,8 +201,14 @@ def train(
     mesh=None,
     wandb_mode: str = "disabled",
     model_overrides: Optional[dict] = None,
+    resume: bool = True,
 ) -> Dict:
-    """Full training run; returns final params and summary stats."""
+    """Full training run; returns final params and summary stats.
+
+    ``resume=True`` restores the latest checkpoint in ``{run_dir}/ckpts`` and
+    continues from its step (elastic restart after preemption — the failure-
+    recovery role SURVEY.md §5 flags as absent in the reference).
+    """
     model, model_config = make_model(config.model, **(model_overrides or {}))
     num_frames = model_config.num_frames
     dataset = SceneFlowDataset(
@@ -236,6 +242,12 @@ def train(
     ckpts = CheckpointManager(f"{run_dir}/ckpts", keep=config.keep_checkpoints)
 
     step = 0
+    if resume:
+        latest_step, tree = ckpts.restore_latest()
+        if tree is not None:
+            params = jax.device_put(tree["params"], replicated(mesh))
+            step = int(latest_step)
+            print(f"[train] resumed from step {step} in {run_dir}/ckpts")
     last_metrics: Dict[str, float] = {}
     t0 = time.time()
     for epoch in range(config.epochs):

@@ -1,0 +1,64 @@
+"""Downstream segmentation harness: train -> segment -> score end to end."""
+
+import numpy as np
+import pytest
+import jax
+
+from himo_tpu.ops.voxelize import PillarConfig
+
+SMALL_PILLAR = PillarConfig(
+    x_range=(-25.6, 25.6), y_range=(-25.6, 25.6), voxel_size=(0.8, 0.8)
+)
+
+
+@pytest.fixture(scope="module")
+def seg_dataset(tmp_path_factory):
+    from himo_tpu.data.synthetic import make_dataset
+
+    root = tmp_path_factory.mktemp("seg") / "av2_seg"
+    make_dataset(root, num_scenes=2, num_frames=4, seed=21, num_background=1200)
+    return root
+
+
+def test_segnet_forward(rng):
+    from himo_tpu.downstream.segmentation import init_seg_params, make_seg_model
+
+    model, _ = make_seg_model(pillar=SMALL_PILLAR, depths=(16, 32), point_feat_dim=8)
+    params = init_seg_params(model, jax.random.PRNGKey(0), 512)
+    pts = rng.uniform(-20, 20, size=(512, 3)).astype(np.float32)
+    logits = model.apply(params, pts, np.ones(512, bool))
+    assert logits.shape == (512, 3)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_seg_pipeline_end_to_end(seg_dataset):
+    """Train a tiny SegNet on GT labels, write seg_* keys, score with
+    eval_seg; the trained net must beat all-background (mIoU > 0)."""
+    from himo_tpu.cli.eval_seg import main as eval_seg_main
+    from himo_tpu.downstream.segmentation import (
+        make_seg_model,
+        segment_dataset,
+        train_segmentation,
+    )
+
+    model, _ = make_seg_model(
+        pillar=SMALL_PILLAR, depths=(16, 32), point_feat_dim=8, base_channels=8
+    )
+    params = train_segmentation(
+        str(seg_dataset),
+        model=model,
+        num_points=8192,
+        epochs=6,
+        lr=2e-3,
+        verbose=False,
+    )
+    n = segment_dataset(
+        str(seg_dataset), model, params, flow_mode="raw", num_points=8192, verbose=False
+    )
+    assert n > 0
+    results = eval_seg_main(data_dir=str(seg_dataset), res_names=["seg_raw"])
+    car_iou = results["seg_raw"]["per_class"]["car"]
+    other_iou = results["seg_raw"]["per_class"]["other_vehicle"]
+    # The synthetic scene has one car + one truck; a few epochs should find
+    # some of them (any IoU > 0.05 proves the full loop works).
+    assert car_iou + other_iou > 0.1
