@@ -58,5 +58,10 @@ def main(
     return metrics
 
 
+def _entry():
+    """console_scripts entry point."""
+    run_cli(main)
+
+
 if __name__ == "__main__":
     run_cli(main)

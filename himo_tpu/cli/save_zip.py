@@ -50,5 +50,10 @@ def main(
     return zip_results(output_dir, output_file=str(output_dir / f"{res_name}-submit.zip"))
 
 
+def _entry():
+    """console_scripts entry point."""
+    run_cli(main)
+
+
 if __name__ == "__main__":
     run_cli(main)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from himo_tpu.training.trainer import TrainConfig, train
 from himo_tpu.utils.cli import run_cli
+from himo_tpu.utils.config import apply_overrides, split_known_overrides
 
 
 def main(
@@ -35,9 +36,16 @@ def main(
         lr=lr,
         num_points=num_points,
         seed=seed,
-        **{k: v for k, v in overrides.items() if hasattr(TrainConfig, k)},
     )
-    result = train(dataset_path, config, run_dir=run_dir, wandb_mode=wandb_mode)
+    known, model_overrides = split_known_overrides(TrainConfig, overrides)
+    config = apply_overrides(config, known)
+    result = train(
+        dataset_path,
+        config,
+        run_dir=run_dir,
+        wandb_mode=wandb_mode,
+        model_overrides=model_overrides or None,
+    )
     print(f"Trained {result['steps']} steps in {result['seconds']:.1f}s")
     return result
 
