@@ -28,10 +28,10 @@ def main() -> dict:
     from himo_tpu.models.feedforward import init_params, make_model
     from himo_tpu.ops.voxelize import PillarConfig
 
-    batch = 4
+    batch = 8
     num_points = 65536
     pillar = PillarConfig(voxel_size=(0.4, 0.4))  # 256x256 pseudo-image
-    model, config = make_model("seflowpp", pillar=pillar)
+    model, config = make_model("seflowpp", pillar=pillar, dtype="bfloat16")
     params = init_params(model, jax.random.PRNGKey(0), num_points=num_points)
 
     def frame(params, pc0, pc1, pc_hist, valid, dt0):

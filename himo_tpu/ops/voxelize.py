@@ -15,11 +15,175 @@ points route to a trash segment that is sliced off.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# ---------------------------------------------------------------------------
+# Pallas scatter/gather: XLA's scatter is per-point latency-bound (~70 ns per
+# point on v5e regardless of channel width); keeping the whole pillar image
+# VMEM-resident and issuing per-point dynamic row stores from a fori_loop is
+# ~10x faster (0.47 ms vs 4.5 ms for 65k points x 32ch x 65k pillars).
+# Used when the image fits comfortably in VMEM; XLA segment ops otherwise.
+
+_SCATTER_CHUNK = 2048
+_NEG = -3.0e38
+_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+def _pallas_fits(num_rows: int, channels: int, itemsize: int = 4) -> bool:
+    return (num_rows + 8) * channels * itemsize <= _VMEM_BUDGET_BYTES
+
+
+def _scatter_kernel(combine):
+    """Per-point dynamic row stores into the VMEM-resident output image.
+
+    The output block (index map ignoring the grid step) stays resident in
+    VMEM while the point-chunk grid streams; grid step 0 initializes it."""
+
+    def kernel(pid_ref, feat_ref, o_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[:, :] = jnp.full_like(o_ref, _NEG if combine == "max" else 0.0)
+
+        def body(i, _):
+            pid = pid_ref[step * _SCATTER_CHUNK + i]
+            row = feat_ref[i, :][None, :]
+            cur = o_ref[pl.ds(pid, 1), :]
+            if combine == "max":
+                o_ref[pl.ds(pid, 1), :] = jnp.maximum(cur, row)
+            else:
+                o_ref[pl.ds(pid, 1), :] = cur + row
+            return 0
+
+        jax.lax.fori_loop(0, _SCATTER_CHUNK, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_rows_fn(num_rows: int, combine: str):
+    """Per-(rows, combine) scatter function (custom_vmap needs positional
+    binding, hence the factory). Batching lowers to a sequential lax.map with
+    an optimization barrier per iteration — without the barrier XLA fuses the
+    per-frame VMEM image into the scan's stacked [B, rows, C] buffer and
+    blows the 16 MB scoped-VMEM limit."""
+
+    @jax.custom_batching.custom_vmap
+    def scatter(pids, feats):
+        n, c = feats.shape
+        assert n % _SCATTER_CHUNK == 0, n
+        return pl.pallas_call(
+            _scatter_kernel(combine),
+            out_shape=jax.ShapeDtypeStruct((num_rows + 8, c), feats.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _SCATTER_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (_SCATTER_CHUNK, c),
+                        lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (num_rows + 8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+        )(pids, feats)
+
+    @scatter.def_vmap
+    def _vmap_rule(axis_size, in_batched, pids, feats):
+        pids_b, feats_b = in_batched
+
+        def one(args):
+            p, f = args
+            return jax.lax.optimization_barrier(scatter(p, f))
+
+        if not (pids_b and feats_b):
+            raise NotImplementedError("scatter expects both args batched")
+        out = jax.lax.map(one, (pids, feats))
+        return out, True
+
+    return jax.jit(scatter)
+
+
+def _scatter_rows_pallas(pids, feats, *, num_rows: int, combine: str = "max"):
+    """Scatter (N, C) rows into (num_rows + 8, C); trash rows go at the end.
+
+    N must be a multiple of the chunk size (callers pad with trash ids).
+    The kernel is fp32-only (single-row bf16 dynamic stores crash Mosaic);
+    lower precisions are routed through fp32 — scatter is latency-bound, so
+    the conversion is free."""
+    dtype = feats.dtype
+    out = _scatter_rows_fn(num_rows, combine)(pids, feats.astype(jnp.float32))
+    return out.astype(dtype)
+
+
+def _gather_kernel(pid_ref, img_ref, o_ref):
+    step = pl.program_id(0)
+
+    def body(i, _):
+        pid = pid_ref[step * _SCATTER_CHUNK + i]
+        o_ref[i, :] = img_ref[pl.ds(pid, 1), :][0, :]
+        return 0
+
+    jax.lax.fori_loop(0, _SCATTER_CHUNK, body, 0)
+
+
+@jax.custom_batching.custom_vmap
+def _gather_rows_pallas(pids, image):
+    """Gather rows of the VMEM-resident pillar image per point id."""
+    n = pids.shape[0]
+    rows, c = image.shape
+    assert n % _SCATTER_CHUNK == 0, n
+    return pl.pallas_call(
+        _gather_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, c), image.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // _SCATTER_CHUNK,),
+            in_specs=[
+                pl.BlockSpec((rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (_SCATTER_CHUNK, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+    )(pids, image)
+
+
+@_gather_rows_pallas.def_vmap
+def _gather_vmap_rule(axis_size, in_batched, pids, image):
+    def one(args):
+        return jax.lax.optimization_barrier(_gather_rows_pallas(*args))
+
+    if not all(in_batched):
+        raise NotImplementedError("gather expects both args batched")
+    out = jax.lax.map(one, (pids, image))
+    return out, True
+
+
+def _pad_for_scatter(pids, feats, trash_row: int):
+    n = feats.shape[0]
+    pad = -n % _SCATTER_CHUNK
+    if pad:
+        pids = jnp.concatenate([pids, jnp.full((pad,), trash_row, pids.dtype)])
+        feats = jnp.concatenate(
+            [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)]
+        )
+    return pids, feats
+
+
+def _on_tpu() -> bool:
+    return jax.default_backend() == "tpu"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,14 +254,26 @@ def scatter_mean(
 ) -> jax.Array:
     """Per-pillar mean of point features -> (H, W, C) dense image."""
     h, w = grid.grid_shape
-    num = grid.pillar_ids.shape[0]
     feats = jnp.where(grid.in_range[:, None], features, 0.0)
-    sums = jax.ops.segment_sum(feats, grid.pillar_ids, num_segments=h * w + 1)
-    counts = jax.ops.segment_sum(
-        grid.in_range.astype(features.dtype), grid.pillar_ids, num_segments=h * w + 1
-    )
+    if _on_tpu() and _pallas_fits(h * w, feats.shape[1] + 1, 4):
+        # Fuse sums and counts into one scatter pass (ones column appended).
+        aug = jnp.concatenate(
+            [feats, grid.in_range.astype(feats.dtype)[:, None]], axis=1
+        )
+        pids, aug = _pad_for_scatter(grid.pillar_ids, aug, h * w)
+        out = _scatter_rows_pallas(pids, aug, num_rows=h * w, combine="sum")[: h * w]
+        sums, counts = out[:, :-1], out[:, -1]
+    else:
+        sums = jax.ops.segment_sum(feats, grid.pillar_ids, num_segments=h * w + 1)[
+            : h * w
+        ]
+        counts = jax.ops.segment_sum(
+            grid.in_range.astype(feats.dtype),
+            grid.pillar_ids,
+            num_segments=h * w + 1,
+        )[: h * w]
     mean = sums / jnp.maximum(counts, 1.0)[:, None]
-    return mean[: h * w].reshape(h, w, -1)
+    return mean.reshape(h, w, -1)
 
 
 def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
@@ -106,6 +282,12 @@ def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
     Empty pillars come out as 0 (not -inf)."""
     h, w = grid.grid_shape
     neg = jnp.finfo(features.dtype).min
+    if _on_tpu() and _pallas_fits(h * w, features.shape[1], 4):
+        feats = jnp.where(grid.in_range[:, None], features, _NEG)
+        pids, feats = _pad_for_scatter(grid.pillar_ids, feats, h * w)
+        mx = _scatter_rows_pallas(pids, feats, num_rows=h * w, combine="max")[: h * w]
+        mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
+        return mx.reshape(h, w, -1)
     feats = jnp.where(grid.in_range[:, None], features, neg)
     mx = jax.ops.segment_max(feats, grid.pillar_ids, num_segments=h * w + 1)
     # Empty segments come back as -inf; masked-point segments as finfo.min.
@@ -119,6 +301,16 @@ def gather_pillars(image: jax.Array, grid: PillarGrid) -> jax.Array:
     Out-of-range points get zeros."""
     h, w = grid.grid_shape
     flat = image.reshape(h * w, -1)
-    safe = jnp.minimum(grid.pillar_ids, h * w - 1)
-    out = flat[safe]
+    if _on_tpu() and _pallas_fits(h * w, flat.shape[1], 4):
+        n = grid.pillar_ids.shape[0]
+        safe = jnp.minimum(grid.pillar_ids, h * w - 1)
+        pad = -n % _SCATTER_CHUNK
+        if pad:
+            safe = jnp.concatenate([safe, jnp.zeros((pad,), safe.dtype)])
+        out = _gather_rows_pallas(safe, flat.astype(jnp.float32))[:n].astype(
+            flat.dtype
+        )
+    else:
+        safe = jnp.minimum(grid.pillar_ids, h * w - 1)
+        out = flat[safe]
     return jnp.where(grid.in_range[:, None], out, 0.0)
