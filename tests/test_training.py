@@ -98,7 +98,6 @@ class TestSSLLabels:
             assert dyn[inst > 0].mean() > 0.5
 
 
-@pytest.mark.slow
 def test_train_smoke_on_mesh(tmp_path, monkeypatch):
     """Two epochs of tiny SeFlow++ on the virtual 8-device mesh."""
     import jax
