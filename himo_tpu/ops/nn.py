@@ -263,6 +263,46 @@ def nn_argmin(
     return d2, idx
 
 
+def _nn_argmin_dispatch(q3: jax.Array, r3: jax.Array):
+    """(d2, idx) on padded-to-tile inputs of raw (N, 3)/(M, 3) coords."""
+    n = q3.shape[0]
+    q = _pad_coords(q3, _QT, None)
+    r = _pad_coords(r3, _RT, None)
+    if _on_tpu():
+        d2, idx = _nn_argmin_padded(q, r)
+    else:
+        d2, idx = _nn_argmin_xla(q, r)
+    return jnp.maximum(d2[:n], 0.0), jnp.minimum(idx[:n], r3.shape[0] - 1)
+
+
+@jax.custom_vjp
+def _nn_core(q3: jax.Array, r3: jax.Array) -> jax.Array:
+    """Min squared distance per query, differentiable in both clouds.
+
+    The kernels aren't autodiffable; the gradient is analytic at the argmin:
+    d/dq |q - r*|^2 = 2 (q - r*), and refs accumulate the negatives via a
+    segment scatter — an O(N) backward instead of replaying the search.
+    """
+    d2, _ = _nn_argmin_dispatch(q3, r3)
+    return d2
+
+
+def _nn_core_fwd(q3, r3):
+    d2, idx = _nn_argmin_dispatch(q3, r3)
+    return d2, (q3, r3, idx)
+
+
+def _nn_core_bwd(residuals, g):
+    q3, r3, idx = residuals
+    diff = q3 - r3[idx]
+    dq = 2.0 * g[:, None] * diff
+    dr = -jax.ops.segment_sum(dq, idx, num_segments=r3.shape[0])
+    return dq, dr
+
+
+_nn_core.defvjp(_nn_core_fwd, _nn_core_bwd)
+
+
 def nn_distance_sq(
     query: jax.Array,
     ref: jax.Array,
@@ -270,6 +310,10 @@ def nn_distance_sq(
     ref_valid: jax.Array | None = None,
 ) -> jax.Array:
     """Per-query squared distance to the nearest reference point.
+
+    Differentiable in both clouds (custom VJP through the argmin). Masks are
+    applied OUTSIDE the custom core by moving invalid points to the sentinel
+    — ``where`` blocks their gradients.
 
     Args:
         query: (N, >=3) points.
@@ -280,14 +324,13 @@ def nn_distance_sq(
     Returns:
         (N,) float32 min squared distances (0 for invalid queries).
     """
-    n = query.shape[0]
-    q = _pad_coords(query, _QT, query_valid)
-    r = _pad_coords(ref, _RT, ref_valid)
-    if _on_tpu():
-        d2 = _nn_distance_sq_padded(q, r)[:n]
-    else:
-        d2 = _nn_distance_sq_xla(q, r)[:n]
-    d2 = jnp.maximum(d2, 0.0)  # numeric guard: |q-r|^2 via dot can dip < 0
+    q3 = query[:, :3]
+    r3 = ref[:, :3]
+    if query_valid is not None:
+        q3 = jnp.where(query_valid[:, None], q3, SENTINEL)
+    if ref_valid is not None:
+        r3 = jnp.where(ref_valid[:, None], r3, SENTINEL)
+    d2 = _nn_core(q3, r3)
     if query_valid is not None:
         d2 = jnp.where(query_valid, d2, 0.0)
     return d2

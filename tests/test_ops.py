@@ -176,3 +176,41 @@ class TestPointsInBoxes:
             points_in_boxes(pts, boxes, boxes_valid=np.array([False, True]))
         )
         np.testing.assert_array_equal(got_masked, [1, 1])
+
+
+class TestNNGradients:
+    def test_custom_vjp_matches_dense_autodiff(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from himo_tpu.ops.nn import nn_distance_sq, nn_distance_sq_reference
+
+        q = jnp.asarray(rng.normal(scale=3, size=(40, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(scale=3, size=(70, 3)), jnp.float32)
+
+        def loss_custom(q, r):
+            return jnp.sum(nn_distance_sq(q, r))
+
+        def loss_dense(q, r):
+            return jnp.sum(nn_distance_sq_reference(q, r))
+
+        gq_c, gr_c = jax.grad(loss_custom, argnums=(0, 1))(q, r)
+        gq_d, gr_d = jax.grad(loss_dense, argnums=(0, 1))(q, r)
+        np.testing.assert_allclose(np.asarray(gq_c), np.asarray(gq_d), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gr_c), np.asarray(gr_d), atol=1e-3)
+
+    def test_masked_points_get_zero_grad(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from himo_tpu.ops.nn import nn_distance_sq
+
+        q = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(size=(30, 3)), jnp.float32)
+        qv = jnp.asarray(np.arange(20) < 10)
+        rv = jnp.asarray(np.arange(30) < 15)
+
+        def loss(q, r):
+            return jnp.sum(nn_distance_sq(q, r, qv, rv))
+
+        gq, gr = jax.grad(loss, argnums=(0, 1))(q, r)
+        np.testing.assert_allclose(np.asarray(gq)[10:], 0.0)
+        np.testing.assert_allclose(np.asarray(gr)[15:], 0.0)
