@@ -115,15 +115,52 @@ def _scatter_rows_fn(num_rows: int, combine: str):
     return jax.jit(scatter)
 
 
+def _float0_like(x):
+    """Zero cotangent for integer/bool primal inputs of custom VJPs."""
+    import numpy as onp
+
+    return onp.zeros(onp.shape(x), dtype=jax.dtypes.float0)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_scatter_fn(num_rows: int, combine: str):
+    """custom_vjp wrapper around the Pallas scatter: the kernel itself has no
+    autodiff rule, but the gradients are analytic —
+    max: the winning point(s) per (pillar, channel) receive the cotangent;
+    sum: every in-range point receives its pillar's cotangent (linear)."""
+    kernel_fn = _scatter_rows_fn(num_rows, combine)
+
+    @jax.custom_vjp
+    def core(pids, feats):
+        return kernel_fn(pids, feats)
+
+    def fwd(pids, feats):
+        out = kernel_fn(pids, feats)
+        return out, (pids, feats, out)
+
+    def bwd(residuals, g):
+        pids, feats, out = residuals
+        g_at = jnp.take(g, pids, axis=0)
+        if combine == "max":
+            winner = feats == jnp.take(out, pids, axis=0)
+            dfeat = jnp.where(winner, g_at, 0.0)
+        else:
+            dfeat = g_at
+        return _float0_like(pids), dfeat
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def _scatter_rows_pallas(pids, feats, *, num_rows: int, combine: str = "max"):
     """Scatter (N, C) rows into (num_rows + 8, C); trash rows go at the end.
 
     N must be a multiple of the chunk size (callers pad with trash ids).
     The kernel is fp32-only (single-row bf16 dynamic stores crash Mosaic);
     lower precisions are routed through fp32 — scatter is latency-bound, so
-    the conversion is free."""
+    the conversion is free. Differentiable via the analytic custom VJP."""
     dtype = feats.dtype
-    out = _scatter_rows_fn(num_rows, combine)(pids, feats.astype(jnp.float32))
+    out = _diff_scatter_fn(num_rows, combine)(pids, feats.astype(jnp.float32))
     return out.astype(dtype)
 
 
@@ -169,6 +206,26 @@ def _gather_vmap_rule(axis_size, in_batched, pids, image):
         raise NotImplementedError("gather expects both args batched")
     out = jax.lax.map(one, (pids, image))
     return out, True
+
+
+@jax.custom_vjp
+def _gather_rows_diff(pids, image):
+    """Differentiable Pallas gather: the transpose of a gather is a
+    scatter-add, served by the sum-scatter kernel."""
+    return _gather_rows_pallas(pids, image)
+
+
+def _gather_rows_diff_fwd(pids, image):
+    return _gather_rows_pallas(pids, image), (pids, image.shape[0])
+
+
+def _gather_rows_diff_bwd(residuals, g):
+    pids, rows = residuals
+    dimage = _diff_scatter_fn(rows, "sum")(pids, g)[:rows]
+    return _float0_like(pids), dimage
+
+
+_gather_rows_diff.defvjp(_gather_rows_diff_fwd, _gather_rows_diff_bwd)
 
 
 def _pad_for_scatter(pids, feats, trash_row: int):
@@ -307,7 +364,7 @@ def gather_pillars(image: jax.Array, grid: PillarGrid) -> jax.Array:
         pad = -n % _SCATTER_CHUNK
         if pad:
             safe = jnp.concatenate([safe, jnp.zeros((pad,), safe.dtype)])
-        out = _gather_rows_pallas(safe, flat.astype(jnp.float32))[:n].astype(
+        out = _gather_rows_diff(safe, flat.astype(jnp.float32))[:n].astype(
             flat.dtype
         )
     else:
