@@ -38,6 +38,21 @@ def _pad_cloud(xyz: np.ndarray, valid: np.ndarray, target: int):
     return out, v
 
 
+def _upsample_flow(
+    full_xyz: np.ndarray, sub_xyz: np.ndarray, sub_flow: np.ndarray
+) -> np.ndarray:
+    """Nearest-neighbor flow upsampling from a subsampled estimation cloud."""
+    from himo_tpu import native
+
+    if native.available():
+        _, idx = native.KDTree(sub_xyz).query(full_xyz)
+    else:
+        from scipy.spatial import cKDTree
+
+        _, idx = cKDTree(sub_xyz).query(full_xyz, k=1)
+    return sub_flow[idx]
+
+
 def estimate_scene_flow(
     data_dir: str,
     model: str = "fastnsf",
@@ -45,9 +60,15 @@ def estimate_scene_flow(
     checkpoint: Optional[str] = None,
     seed: int = 0,
     verbose: bool = True,
+    max_estimation_points: Optional[int] = None,
     **overrides,
 ) -> Dict[str, float]:
     """Estimate flow for every frame pair and write it back to the scenes.
+
+    ``max_estimation_points`` caps the cloud size fed to the estimator
+    (standard practice for the optimization-based models, whose per-iteration
+    NN cost is quadratic): clouds are randomly subsampled for estimation and
+    the flow is NN-upsampled back to every point.
 
     Returns throughput stats (frames, points, seconds).
     """
@@ -76,16 +97,34 @@ def estimate_scene_flow(
             continue
         xyz0 = data["pc0"][:, :3]
         xyz1 = data["pc1"][:, :3]
+        rng_np = np.random.default_rng(seed + i)
         with timer("prep"):
             pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
             pc0_comp = xyz0 + pflow
-            target = bucket_size(max(len(xyz0), len(xyz1)))
-            p0, v0 = _pad_cloud(pc0_comp, ~data["gm0"], target)
-            p1, v1 = _pad_cloud(xyz1, ~data["gm1"], target)
+            est0, est1 = pc0_comp, xyz1
+            gm0, gm1 = np.asarray(data["gm0"], bool), np.asarray(data["gm1"], bool)
+            sub_idx = None
+            if max_estimation_points is not None:
+                if len(est0) > max_estimation_points:
+                    sub_idx = rng_np.choice(
+                        len(est0), max_estimation_points, replace=False
+                    )
+                    est0, gm0 = est0[sub_idx], gm0[sub_idx]
+                if len(est1) > max_estimation_points:
+                    keep1 = rng_np.choice(
+                        len(est1), max_estimation_points, replace=False
+                    )
+                    est1, gm1 = est1[keep1], gm1[keep1]
+            target = bucket_size(max(len(est0), len(est1)))
+            p0, v0 = _pad_cloud(est0, ~gm0, target)
+            p1, v1 = _pad_cloud(est1, ~gm1, target)
         key, sub = jax.random.split(key)
         with timer("estimate"):
             residual, loss = estimator(p0, p1, v0, v1, sub)
-            residual = np.asarray(residual)[: len(xyz0)]
+            residual = np.asarray(residual)[: len(est0)]
+        if sub_idx is not None:
+            with timer("upsample"):
+                residual = _upsample_flow(pc0_comp, est0, residual)
         total = (pflow + residual).astype(np.float32)
         with timer("write"):
             write_method_flow(

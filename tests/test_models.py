@@ -151,3 +151,37 @@ def test_runner_end_to_end(tmp_path, rng):
         os.chdir(cwd)
     assert est is not None and raw is not None
     assert est["mpe"] < raw["mpe"]
+
+
+def test_runner_subsample_upsample(tmp_path, rng):
+    """max_estimation_points caps the estimator cloud; flow still improves."""
+    from himo_tpu.cli.eval import main as eval_main
+    from himo_tpu.models.runner import estimate_scene_flow
+    from himo_tpu.data.synthetic import make_dataset
+
+    root = tmp_path / "av2_sub"
+    make_dataset(root, num_scenes=1, num_frames=3, seed=13, num_background=3000)
+    # Full-range DT (the scene spans +-40 m) at a coarser voxel to stay fast.
+    full_dt = DTConfig(voxel_size=(0.8, 0.8, 0.8))
+    stats = estimate_scene_flow(
+        str(root),
+        model="fastnsf",
+        iterations=150,
+        dt=full_dt,
+        hidden=64,
+        layers=4,
+        max_estimation_points=2048,  # forces subsample (clouds ~3800 pts)
+        output_key="fastnsf_sub",
+        verbose=False,
+    )
+    assert stats["frames"] == 2
+    import os
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        est = eval_main(data_dir=str(root), res_name="fastnsf_sub").total_summary()
+        raw = eval_main(data_dir=str(root), res_name="raw").total_summary()
+    finally:
+        os.chdir(cwd)
+    assert est["mpe"] < raw["mpe"]
