@@ -45,6 +45,30 @@ def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
     )
 
 
+def static_flow_loss(flow: jax.Array, static_mask: jax.Array) -> jax.Array:
+    """Mean squared residual flow on SSL-static points."""
+    return _masked_mean(jnp.sum(flow * flow, axis=1), static_mask)
+
+
+def cluster_rigidity_loss(
+    flow: jax.Array,
+    cluster_ids: jax.Array,
+    valid: jax.Array,
+    num_clusters: int,
+) -> jax.Array:
+    """Within-cluster flow variance via segment reductions (0 = no cluster)."""
+    in_cluster = valid & (cluster_ids > 0)
+    cid = jnp.where(in_cluster, cluster_ids, 0).astype(jnp.int32)
+    ones = in_cluster.astype(jnp.float32)
+    counts = jax.ops.segment_sum(ones, cid, num_segments=num_clusters)
+    sums = jax.ops.segment_sum(
+        jnp.where(in_cluster[:, None], flow, 0.0), cid, num_segments=num_clusters
+    )
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    dev = flow - means[cid]
+    return _masked_mean(jnp.sum(dev * dev, axis=1), in_cluster)
+
+
 def seflowpp_loss(
     flow: jax.Array,  # (N, 3) predicted residual flow for pc0
     pc0: jax.Array,  # (N, 3) ego-compensated sweep 0
@@ -65,8 +89,7 @@ def seflowpp_loss(
         warped, pc1[:, :3], valid1=valid0, valid2=valid1, max_dist=max_dist
     )
 
-    static0 = valid0 & (~dynamic0)
-    static_loss = _masked_mean(jnp.sum(flow * flow, axis=1), static0)
+    static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
 
     dyn_chamfer = truncated_chamfer(
         warped,
@@ -76,18 +99,58 @@ def seflowpp_loss(
         max_dist=max_dist,
     )
 
-    # Rigidity: flow variance within each SSL cluster (cluster 0 = none).
-    in_cluster = valid0 & (cluster0 > 0)
-    cid = jnp.where(in_cluster, cluster0, 0).astype(jnp.int32)
-    ones = in_cluster.astype(jnp.float32)
-    counts = jax.ops.segment_sum(ones, cid, num_segments=num_clusters)
-    sums = jax.ops.segment_sum(
-        jnp.where(in_cluster[:, None], flow, 0.0), cid, num_segments=num_clusters
+    cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)
+
+    total = (
+        weights.chamfer_dis * chamfer
+        + weights.static_flow_loss * static_loss
+        + weights.dynamic_chamfer_dis * dyn_chamfer
+        + weights.cluster_based_pc0pc1 * cluster_loss
     )
-    means = sums / jnp.maximum(counts, 1.0)[:, None]
-    dev = flow - means[cid]
-    dev2 = jnp.sum(dev * dev, axis=1)
-    cluster_loss = _masked_mean(dev2, in_cluster)
+    return {
+        "total": total,
+        "chamfer_dis": chamfer,
+        "static_flow_loss": static_loss,
+        "dynamic_chamfer_dis": dyn_chamfer,
+        "cluster_based_pc0pc1": cluster_loss,
+    }
+
+
+def seflowpp_loss_sampled(
+    flow: jax.Array,
+    pc0: jax.Array,
+    pc1: jax.Array,
+    valid0: jax.Array,
+    valid1: jax.Array,
+    dynamic0: jax.Array,
+    dynamic1: jax.Array,
+    cluster0: jax.Array,
+    loss_idx0: jax.Array,  # (K,) int32 sample of pc0 rows for chamfer terms
+    loss_idx1: jax.Array,  # (K,) int32 sample of pc1 rows
+    num_clusters: int = 64,
+    weights: SSLLossWeights = SSLLossWeights(),
+    max_dist: float = 2.0,
+) -> Dict[str, jax.Array]:
+    """seflowpp_loss with SAMPLED Chamfer terms.
+
+    The NN searches are quadratic in cloud size and dominate the train step
+    (measured: a 65k-point step spends most of its 4 s in the loss NN, not
+    the backbone). Gathering K-point subsets for the chamfer terms cuts that
+    by (N/K)^2 while the cheap elementwise/segment terms (static flow,
+    cluster rigidity) stay exact over the full cloud.
+    """
+    warped = pc0[:, :3] + flow
+    w_l, v0_l = warped[loss_idx0], valid0[loss_idx0]
+    d0_l = dynamic0[loss_idx0]
+    p1_l, v1_l = pc1[loss_idx1, :3], valid1[loss_idx1]
+    d1_l = dynamic1[loss_idx1]
+
+    chamfer = truncated_chamfer(w_l, p1_l, valid1=v0_l, valid2=v1_l, max_dist=max_dist)
+    dyn_chamfer = truncated_chamfer(
+        w_l, p1_l, valid1=v0_l & d0_l, valid2=v1_l & d1_l, max_dist=max_dist
+    )
+    static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
+    cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)
 
     total = (
         weights.chamfer_dis * chamfer

@@ -45,6 +45,7 @@ class TrainConfig:
     step_lr_epochs: int = 3
     step_lr_gamma: float = 0.5
     num_points: int = 65536  # fixed per-frame point budget
+    loss_points: int = 16384  # chamfer-term sample size (0 = full cloud)
     num_clusters: int = 64
     max_dist: float = 2.0
     weights: SSLLossWeights = SSLLossWeights()
@@ -57,7 +58,13 @@ class TrainConfig:
 # ----------------------------------------------------------------- batches
 
 
-def build_frame_arrays(data: Dict, num_points: int, num_frames: int) -> Dict:
+def build_frame_arrays(
+    data: Dict,
+    num_points: int,
+    num_frames: int,
+    loss_points: int = 0,
+    rng: Optional[np.random.Generator] = None,
+) -> Dict:
     """One frame -> fixed-size training arrays (host, numpy)."""
 
     def fit(arr, fill=0):
@@ -93,6 +100,19 @@ def build_frame_arrays(data: Dict, num_points: int, num_frames: int) -> Dict:
         "dynamic0": dyn0,
         "cluster0": cl0,
     }
+    if loss_points and loss_points < num_points:
+        rng = rng or np.random.default_rng(0)
+
+        def sample(valid):
+            pool = np.flatnonzero(valid)
+            if len(pool) == 0:
+                pool = np.array([0])
+            return rng.choice(pool, size=loss_points, replace=len(pool) < loss_points).astype(
+                np.int32
+            )
+
+        out["loss_idx0"] = sample(v0)
+        out["loss_idx1"] = sample(v1)
     if num_frames >= 3:
         xyzp = data["pc_prev"][:, :3].astype(np.float32)
         # History sweep into the pc1 frame (prev -> next ego motion).
@@ -122,7 +142,13 @@ def batch_iterator(
         for b in range(n_batches):
             idxs = order[b * config.batch_size : (b + 1) * config.batch_size]
             frames = [
-                build_frame_arrays(dataset[int(i)], config.num_points, num_frames)
+                build_frame_arrays(
+                    dataset[int(i)],
+                    config.num_points,
+                    num_frames,
+                    loss_points=config.loss_points,
+                    rng=rng,
+                )
                 for i in idxs
             ]
             batch = {
@@ -153,6 +179,28 @@ def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
                 sweeps.append(b["pc_hist"])
                 valids.append(b["valid_hist"])
             flow = model.apply(params, tuple(sweeps), tuple(valids))
+            common = dict(
+                num_clusters=config.num_clusters,
+                weights=config.weights,
+                max_dist=config.max_dist,
+            )
+            if "loss_idx0" in b:
+                from himo_tpu.training.losses import seflowpp_loss_sampled
+
+                return seflowpp_loss_sampled(
+                    flow,
+                    b["pc0"],
+                    b["pc1"],
+                    b["valid0"],
+                    b["valid1"],
+                    b["dynamic0"],
+                    # pc1 dynamic mask unknown -> all valid pc1 are candidates
+                    b["valid1"],
+                    b["cluster0"],
+                    b["loss_idx0"],
+                    b["loss_idx1"],
+                    **common,
+                )
             return seflowpp_loss(
                 flow,
                 b["pc0"],
@@ -160,12 +208,9 @@ def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
                 b["valid0"],
                 b["valid1"],
                 b["dynamic0"],
-                # pc1 dynamic mask unknown -> treat all valid pc1 as candidates
                 b["valid1"],
                 b["cluster0"],
-                num_clusters=config.num_clusters,
-                weights=config.weights,
-                max_dist=config.max_dist,
+                **common,
             )
 
         losses = jax.vmap(per_frame)(batch)
