@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
 from tqdm import tqdm
 
 from himo_tpu.core.compensation import flow_to_comp_dis
@@ -38,8 +39,6 @@ def main(
         # Dataset name only matters for the eval mask, which submissions omit;
         # the pose-flow / dt0 math is dataset-independent (save_zip.py:113-121).
         frame = prepare_frame(data, data_name="av2", res_name=res_name)
-        import numpy as np
-
         comp_dis = np.asarray(
             flow_to_comp_dis(frame["est_flow"], frame["dt0"], sensor_dt=sensor_dt)
         )

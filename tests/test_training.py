@@ -138,3 +138,30 @@ def test_train_smoke_on_mesh(tmp_path, monkeypatch):
     # Checkpoints + metrics written.
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert any((tmp_path / "run" / "ckpts").iterdir())
+
+
+def test_trainer_resume_from_checkpoint(tmp_path):
+    """A second train() call with resume=True continues from the saved step."""
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.ops.voxelize import PillarConfig
+    from himo_tpu.training.trainer import TrainConfig, train
+
+    root = tmp_path / "av2_resume"
+    make_dataset(root, num_scenes=2, num_frames=6, seed=3, num_background=600)
+    overrides = dict(
+        pillar=PillarConfig(
+            x_range=(-25.6, 25.6), y_range=(-25.6, 25.6), voxel_size=(0.8, 0.8)
+        ),
+        depths=(16, 32),
+        point_feat_dim=8,
+        base_channels=8,
+    )
+    config = TrainConfig(
+        model="seflowpp", batch_size=8, epochs=2, num_points=1024, log_every=1
+    )
+    run_dir = str(tmp_path / "run")
+    first = train(str(root), config, run_dir=run_dir, model_overrides=overrides)
+    assert first["steps"] == 2  # 10 frames -> 1 batch/epoch x 2 epochs
+    second = train(str(root), config, run_dir=run_dir, model_overrides=overrides)
+    # Resumed from step 2, then ran two more epochs.
+    assert second["steps"] == 4

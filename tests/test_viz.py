@@ -65,3 +65,17 @@ def test_instance_viewer_and_animation(tmp_path, synthetic_dataset):
     import os
 
     assert os.path.getsize(video) > 1000
+
+
+def test_visualize_cli(tmp_path, synthetic_dataset):
+    from himo_tpu.viz.visualize import main as viz_main
+
+    saved = viz_main(
+        data_dir=str(synthetic_dataset),
+        flow_mode="perfect",
+        color="flow",
+        out_dir=str(tmp_path / "frames"),
+        num_frames=2,
+        resolution=240,
+    )
+    assert len(saved) == 2
