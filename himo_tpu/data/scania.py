@@ -230,6 +230,10 @@ def process_scene(
                 np.stack(centers) if centers else np.eye(4, dtype=np.float32)[None]
             )
 
+            from himo_tpu.ops.ground import ground_mask as compute_ground
+
+            gm = np.asarray(compute_ground(pc[:, :3].astype(np.float32)))
+
             has_next = i + 1 < len(frames) and i < len(scene_meta)
             flow_fields = {}
             if has_next:
@@ -257,6 +261,7 @@ def process_scene(
                 pose=pose,
                 timestamp=timestamp,
                 lidar_center=lidar_center,
+                ground_mask=gm,
                 group_key=frame_name.split("_")[-1],
                 **flow_fields,
             )
