@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from tqdm import tqdm
 
-from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 from himo_tpu.data.dataset import SceneFlowDataset
 from himo_tpu.data.padding import bucket_size
 from himo_tpu.data.schema import write_method_flow
@@ -99,7 +99,7 @@ def estimate_scene_flow(
         xyz1 = data["pc1"][:, :3]
         rng_np = np.random.default_rng(seed + i)
         with timer("prep"):
-            pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+            pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
             pc0_comp = xyz0 + pflow
             est0, est1 = pc0_comp, xyz1
             gm0, gm1 = np.asarray(data["gm0"], bool), np.asarray(data["gm1"], bool)

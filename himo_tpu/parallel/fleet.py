@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 from himo_tpu.core.transforms import relative_pose, transform_points
 from himo_tpu.parallel.mesh import make_mesh, shard_batch
 
@@ -50,7 +50,7 @@ def frame_to_arrays(data: Dict, num_points: int, with_history: bool) -> Dict:
     """One dataset frame -> fixed-size arrays for the fleet step."""
     xyz0 = data["pc0"][:, :3].astype(np.float32)
     xyz1 = data["pc1"][:, :3].astype(np.float32)
-    pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+    pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
     lidar_dt = data["lidar_dt"].astype(np.float32)
     dt0 = lidar_dt.max() - lidar_dt
 

@@ -21,7 +21,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 
 
 def dynamic_mask_from_nn(
@@ -76,7 +76,7 @@ def label_frame(
     """(dynamic, cluster) labels for one frame-pair dict (needs pc1/gm1)."""
     xyz0 = data["pc0"][:, :3]
     xyz1 = data["pc1"][:, :3]
-    pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+    pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
     pc0_comp = xyz0 + pflow
     ng0 = ~np.asarray(data["gm0"], bool)
     ng1 = ~np.asarray(data["gm1"], bool)

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from himo_tpu.core.compensation import pose_flow as pose_flow_fn
+from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 from himo_tpu.core.transforms import relative_pose, transform_points
 from himo_tpu.data.dataset import SceneFlowDataset
 from himo_tpu.models.feedforward import SceneFlowNet, make_model
@@ -75,7 +75,7 @@ def build_frame_arrays(
 
     xyz0 = data["pc0"][:, :3].astype(np.float32)
     xyz1 = data["pc1"][:, :3].astype(np.float32)
-    pflow = np.asarray(pose_flow_fn(xyz0, data["pose0"], data["pose1"]))
+    pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
     pc0_comp = xyz0 + pflow
 
     p0, n0 = fit(pc0_comp)
