@@ -27,6 +27,7 @@ def main(
     run_dir: str = "runs/seflowpp",
     wandb_mode: str = "disabled",
     seed: int = 0,
+    dtype: str = "bfloat16",  # backbone dtype; flow head & losses stay fp32
     **overrides,
 ):
     config = TrainConfig(
@@ -39,6 +40,7 @@ def main(
     )
     known, model_overrides = split_known_overrides(TrainConfig, overrides)
     config = apply_overrides(config, known)
+    model_overrides.setdefault("dtype", dtype)
     result = train(
         dataset_path,
         config,
