@@ -282,9 +282,17 @@ def _nn_core(q3: jax.Array, r3: jax.Array) -> jax.Array:
     The kernels aren't autodiffable; the gradient is analytic at the argmin:
     d/dq |q - r*|^2 = 2 (q - r*), and refs accumulate the negatives via a
     segment scatter — an O(N) backward instead of replaying the search.
+    The undifferentiated primal uses the cheaper min-only kernel; the VJP
+    forward pays for argmin tracking only when gradients are requested.
     """
-    d2, _ = _nn_argmin_dispatch(q3, r3)
-    return d2
+    n = q3.shape[0]
+    q = _pad_coords(q3, _QT, None)
+    r = _pad_coords(r3, _RT, None)
+    if _on_tpu():
+        d2 = _nn_distance_sq_padded(q, r)[:n]
+    else:
+        d2 = _nn_distance_sq_xla(q, r)[:n]
+    return jnp.maximum(d2, 0.0)
 
 
 def _nn_core_fwd(q3, r3):
