@@ -179,6 +179,10 @@ class SceneFlowNet(nn.Module):
 
 
 def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
+    """Build a preset network; overrides may be dataclass values OR dotted
+    CLI-style keys into nested configs (``pillar.voxel_size=(0.4,0.4)``)."""
+    from himo_tpu.utils.config import apply_overrides
+
     presets = {
         "fastflow3d": dict(decoder="linear", num_frames=2),
         "deflow": dict(decoder="deflow", num_frames=2),
@@ -188,8 +192,9 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
     }
     if name not in presets:
         raise KeyError(f"unknown feed-forward model {name!r}")
-    kwargs = {**presets[name], **overrides}
-    config = FlowNetConfig(**kwargs)
+    config = FlowNetConfig(**presets[name])
+    if overrides:
+        config = apply_overrides(config, overrides)
     return SceneFlowNet(config), config
 
 

@@ -22,7 +22,23 @@ def save_checkpoint(path, tree: Dict[str, Any]) -> str:
 
 
 def load_checkpoint(path, target: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Restore a checkpoint.
+
+    Accepts either a direct PyTree checkpoint path or a CheckpointManager
+    directory (numbered step subdirectories, as written by training) — the
+    latter resolves to its latest step, so CLIs can simply point at
+    ``{run_dir}/ckpts``."""
     path = Path(path).absolute()
+    if path.is_dir():
+        steps = sorted(
+            (int(p.name) for p in path.iterdir() if p.is_dir() and p.name.isdigit()),
+            reverse=True,
+        )
+        if steps:
+            path = path / str(steps[0])
+            # Manager layouts nest the pytree under a 'default' item.
+            if (path / "default").is_dir():
+                path = path / "default"
     with ocp.PyTreeCheckpointer() as ckptr:
         if target is not None:
             return ckptr.restore(path, args=ocp.args.PyTreeRestore(target))
