@@ -68,6 +68,88 @@ def _scatter_kernel(combine):
     return kernel
 
 
+def _banded_scatter_kernel(combine, rows_per_band: int):
+    """Band variant: only pids inside [lo, lo + rows_per_band) store."""
+
+    def kernel(lo_ref, pid_ref, feat_ref, o_ref):
+        step = pl.program_id(0)
+        lo = lo_ref[0]
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[:, :] = jnp.full_like(o_ref, _NEG if combine == "max" else 0.0)
+
+        def body(i, _):
+            pid = pid_ref[step * _SCATTER_CHUNK + i]
+            local = pid - lo
+
+            @pl.when((local >= 0) & (local < rows_per_band))
+            def _():
+                row = feat_ref[i, :][None, :]
+                cur = o_ref[pl.ds(local, 1), :]
+                if combine == "max":
+                    o_ref[pl.ds(local, 1), :] = jnp.maximum(cur, row)
+                else:
+                    o_ref[pl.ds(local, 1), :] = cur + row
+            return 0
+
+        jax.lax.fori_loop(0, _SCATTER_CHUNK, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_rows_banded_fn(num_rows: int, combine: str, bands: int):
+    """Images beyond the VMEM budget: lax.map over row bands, each band a
+    full pass over the points with predicated stores (band work is
+    sequential anyway — the kernel is per-point latency-bound)."""
+
+    def band_rows() -> int:
+        return -(-(num_rows + 8) // (bands * 8)) * 8
+
+    rows = band_rows()
+
+    def band_call(lo, pids, feats):
+        n, c = feats.shape
+        return pl.pallas_call(
+            _banded_scatter_kernel(combine, rows),
+            out_shape=jax.ShapeDtypeStruct((rows, c), feats.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n // _SCATTER_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (_SCATTER_CHUNK, c),
+                        lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+        )(lo, pids, feats)
+
+    @jax.custom_batching.custom_vmap
+    def scatter(pids, feats):
+        los = (jnp.arange(bands, dtype=jnp.int32) * rows)[:, None]
+
+        def one(lo):
+            return jax.lax.optimization_barrier(band_call(lo, pids, feats))
+
+        out = jax.lax.map(one, los)  # (bands, rows, c)
+        return out.reshape(bands * rows, -1)[: num_rows + 8]
+
+    @scatter.def_vmap
+    def _vmap_rule(axis_size, in_batched, pids, feats):
+        if not all(in_batched):
+            raise NotImplementedError("banded scatter expects both args batched")
+        out = jax.lax.map(lambda ab: scatter(*ab), (pids, feats))
+        return out, True
+
+    return scatter
+
+
 @functools.lru_cache(maxsize=None)
 def _scatter_rows_fn(num_rows: int, combine: str):
     """Per-(rows, combine) scatter function (custom_vmap needs positional
@@ -123,12 +205,15 @@ def _float0_like(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _diff_scatter_fn(num_rows: int, combine: str):
+def _diff_scatter_fn(num_rows: int, combine: str, bands: int = 1):
     """custom_vjp wrapper around the Pallas scatter: the kernel itself has no
     autodiff rule, but the gradients are analytic —
     max: the winning point(s) per (pillar, channel) receive the cotangent;
     sum: every in-range point receives its pillar's cotangent (linear)."""
-    kernel_fn = _scatter_rows_fn(num_rows, combine)
+    if bands > 1:
+        kernel_fn = _scatter_rows_banded_fn(num_rows, combine, bands)
+    else:
+        kernel_fn = _scatter_rows_fn(num_rows, combine)
 
     @jax.custom_vjp
     def core(pids, feats):
@@ -152,15 +237,25 @@ def _diff_scatter_fn(num_rows: int, combine: str):
     return core
 
 
+def _num_bands(num_rows: int, channels: int) -> int:
+    """Row bands needed so each band's image slice fits the VMEM budget."""
+    bands = 1
+    while not _pallas_fits(-(-(num_rows + 8) // bands), channels, 4) and bands < 64:
+        bands *= 2
+    return bands
+
+
 def _scatter_rows_pallas(pids, feats, *, num_rows: int, combine: str = "max"):
     """Scatter (N, C) rows into (num_rows + 8, C); trash rows go at the end.
 
     N must be a multiple of the chunk size (callers pad with trash ids).
     The kernel is fp32-only (single-row bf16 dynamic stores crash Mosaic);
     lower precisions are routed through fp32 — scatter is latency-bound, so
-    the conversion is free. Differentiable via the analytic custom VJP."""
+    the conversion is free. Differentiable via the analytic custom VJP.
+    Images beyond the VMEM budget split into row bands."""
     dtype = feats.dtype
-    out = _diff_scatter_fn(num_rows, combine)(pids, feats.astype(jnp.float32))
+    bands = _num_bands(num_rows, feats.shape[1])
+    out = _diff_scatter_fn(num_rows, combine, bands)(pids, feats.astype(jnp.float32))
     return out.astype(dtype)
 
 
@@ -312,7 +407,7 @@ def scatter_mean(
     """Per-pillar mean of point features -> (H, W, C) dense image."""
     h, w = grid.grid_shape
     feats = jnp.where(grid.in_range[:, None], features, 0.0)
-    if _on_tpu() and _pallas_fits(h * w, feats.shape[1] + 1, 4):
+    if _on_tpu():
         # Fuse sums and counts into one scatter pass (ones column appended).
         aug = jnp.concatenate(
             [feats, grid.in_range.astype(feats.dtype)[:, None]], axis=1
@@ -339,7 +434,7 @@ def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
     Empty pillars come out as 0 (not -inf)."""
     h, w = grid.grid_shape
     neg = jnp.finfo(features.dtype).min
-    if _on_tpu() and _pallas_fits(h * w, features.shape[1], 4):
+    if _on_tpu():
         feats = jnp.where(grid.in_range[:, None], features, _NEG)
         pids, feats = _pad_for_scatter(grid.pillar_ids, feats, h * w)
         mx = _scatter_rows_pallas(pids, feats, num_rows=h * w, combine="max")[: h * w]
