@@ -237,10 +237,12 @@ def _diff_scatter_fn(num_rows: int, combine: str, bands: int = 1):
     return core
 
 
-def _num_bands(num_rows: int, channels: int) -> int:
+def _num_bands(num_rows: int, channels: int, budget: int = _VMEM_BUDGET_BYTES) -> int:
     """Row bands needed so each band's image slice fits the VMEM budget."""
     bands = 1
-    while not _pallas_fits(-(-(num_rows + 8) // bands), channels, 4) and bands < 64:
+    while (
+        (-(-(num_rows + 8) // bands) + 8) * channels * 4 > budget and bands < 64
+    ):
         bands *= 2
     return bands
 
@@ -306,12 +308,22 @@ def _gather_vmap_rule(axis_size, in_batched, pids, image):
 @jax.custom_vjp
 def _gather_rows_diff(pids, image):
     """Differentiable Pallas gather: the transpose of a gather is a
-    scatter-add, served by the sum-scatter kernel."""
+    scatter-add, served by the sum-scatter kernel. Wide images (beyond the
+    VMEM budget) stream in row bands."""
+    return _gather_dispatch(pids, image)
+
+
+def _gather_dispatch(pids, image):
+    # Resident-image kernel only: a banded-input variant does NOT stream —
+    # Mosaic materializes the whole window for input blocks revisited
+    # non-consecutively across the outer grid dim (measured: 512^2 x 32ch
+    # allocates the full 32 MiB image and OOMs scoped VMEM). Wide images
+    # take the XLA gather via the caller's gate. See TODO.md.
     return _gather_rows_pallas(pids, image)
 
 
 def _gather_rows_diff_fwd(pids, image):
-    return _gather_rows_pallas(pids, image), (pids, image.shape[0])
+    return _gather_dispatch(pids, image), (pids, image.shape[0])
 
 
 def _gather_rows_diff_bwd(residuals, g):
