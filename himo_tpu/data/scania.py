@@ -204,6 +204,15 @@ def process_scene(
 
         extrinsics = {}
         ext_file = sequence_meta.get("extrinsics_file")
+        if not ext_file:
+            # Per-vehicle convention of the reference (extract_sca.py:167):
+            # assets/private/lidar_ext/{vehicle}-generated.yml next to the data.
+            vehicle = sequence_meta.get("vehicle", "").lower()
+            candidate = (
+                origin_data / "assets" / "private" / "lidar_ext"
+                / f"{vehicle}-generated.yml"
+            )
+            ext_file = str(candidate) if candidate.exists() else None
         if ext_file and os.path.exists(ext_file):
             extrinsics = load_lidar_extrinsics(yaml.safe_load(open(ext_file)))
 

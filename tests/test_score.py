@@ -75,3 +75,18 @@ def test_missing_sweep_warns_and_continues(archives, capsys):
     out = capsys.readouterr().out
     assert "Missing prediction" in out
     assert scores["num_frames"] == 2
+
+
+def test_score_extracted_directories(archives, tmp_path):
+    """The scorer accepts extracted directories as well as zips."""
+    from zipfile import ZipFile
+
+    gt_dir = tmp_path / "gt_extracted"
+    with ZipFile(archives["gt"]) as zf:
+        zf.extractall(gt_dir)
+    pred_dir = tmp_path / "pred_extracted"
+    with ZipFile(archives["perfect"]) as zf:
+        zf.extractall(pred_dir)
+    scores = score(str(gt_dir), str(pred_dir))
+    assert scores["mpe"] < 1e-6
+    assert scores["num_frames"] == 3
