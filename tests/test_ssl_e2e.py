@@ -34,8 +34,8 @@ def test_ssl_training_beats_raw(tmp_path):
     )
     config = TrainConfig(
         model="seflowpp",
-        batch_size=4,
-        epochs=30,
+        batch_size=8,  # divisible across the 8-device test mesh
+        epochs=40,
         num_points=4096,
         lr=2e-3,
         log_every=50,
