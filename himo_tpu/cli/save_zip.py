@@ -15,7 +15,6 @@ from pathlib import Path
 import numpy as np
 from tqdm import tqdm
 
-from himo_tpu.core.compensation import flow_to_comp_dis
 from himo_tpu.data.dataset import SceneFlowDataset
 from himo_tpu.eval.pipeline import prepare_frame
 from himo_tpu.io.submission import write_comp_dis_feather, zip_results
@@ -39,9 +38,8 @@ def main(
         # Dataset name only matters for the eval mask, which submissions omit;
         # the pose-flow / dt0 math is dataset-independent (save_zip.py:113-121).
         frame = prepare_frame(data, data_name="av2", res_name=res_name)
-        comp_dis = np.asarray(
-            flow_to_comp_dis(frame["est_flow"], frame["dt0"], sensor_dt=sensor_dt)
-        )
+        # Host loop: numpy math, no per-frame device dispatch.
+        comp_dis = frame["est_flow"] / sensor_dt * frame["dt0"][:, None]
         write_comp_dis_feather(
             comp_dis, (data["scene_id"], str(data["timestamp"])), output_dir
         )

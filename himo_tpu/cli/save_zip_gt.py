@@ -13,7 +13,6 @@ from pathlib import Path
 import numpy as np
 from tqdm import tqdm
 
-from himo_tpu.core.compensation import flow_to_comp_dis
 from himo_tpu.core.dataset_id import check_valid
 from himo_tpu.data.dataset import SceneFlowDataset
 from himo_tpu.eval.pipeline import prepare_frame
@@ -38,9 +37,7 @@ def main(
     ):
         data = dataset[i]
         frame = prepare_frame(data, data_name, res_name=None)
-        gt_comp_dis = np.asarray(
-            flow_to_comp_dis(frame["gt_flow"], frame["dt0"], sensor_dt=sensor_dt)
-        )
+        gt_comp_dis = frame["gt_flow"] / sensor_dt * frame["dt0"][:, None]
         gt_flow_norm = np.linalg.norm(frame["gt_flow"], axis=1).astype(np.float32)
         write_comp_dis_feather(
             gt_comp_dis,

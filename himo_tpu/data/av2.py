@@ -94,17 +94,19 @@ def read_sweep(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     import pandas as pd
 
     df = pd.read_feather(path)
+
+    def col(name, dtype):
+        if name in df.columns:
+            return np.asarray(df[name], dtype=dtype)
+        return np.zeros(len(df), dtype=dtype)
+
     pc = np.stack(
-        [
-            df["x"].values,
-            df["y"].values,
-            df["z"].values,
-            df.get("intensity", np.zeros(len(df))).values,
-        ],
+        [col("x", np.float32), col("y", np.float32), col("z", np.float32),
+         col("intensity", np.float32)],
         axis=1,
-    ).astype(np.float32)
-    laser = df.get("laser_number", np.zeros(len(df))).values.astype(np.uint8)
-    offset = df.get("offset_ns", np.zeros(len(df))).values.astype(np.float64) * 1e-9
+    )
+    laser = col("laser_number", np.uint8)
+    offset = col("offset_ns", np.float64) * 1e-9
     return pc, laser, offset.astype(np.float32)
 
 

@@ -126,6 +126,7 @@ class SceneFlowDataset:
                 if key and key in g:
                     out[key] = g[key][()]
 
+            out["has_next"] = nxt is not None
             if nxt is not None:
                 g1 = f[str(nxt[1])]
                 out["pose1"] = g1["pose"][()]

@@ -25,8 +25,13 @@ from typing import Callable, Dict, List, Optional
 import numpy as np
 
 from himo_tpu.core.categories import BUCKETED_METACATAGORIES, CATEGORY_TO_INDEX
-from himo_tpu.core.compensation import flow_to_comp_dis, refine_points
 from himo_tpu.eval.chamfer import chamfer_distance_host, mean_point_error
+
+
+def _comp_dis_np(flow: np.ndarray, dt0: np.ndarray, sensor_dt: float) -> np.ndarray:
+    """Numpy twin of core.compensation.flow_to_comp_dis — per-frame host
+    loops must not dispatch per-op to the device (tunnel RTT dominates)."""
+    return flow / sensor_dt * dt0[:, None]
 
 RANGES = ("0-10", "10-20", "20-30", "30+")
 TARGET_CATEGORIES = ("CAR", "OTHER_VEHICLES")
@@ -106,14 +111,9 @@ class InstanceMetrics:
         if (est_flow is None) == (est_dis is None):
             raise ValueError("provide exactly one of est_flow or est_dis")
         if est_flow is not None:
-            est_dis = np.asarray(
-                flow_to_comp_dis(est_flow, dt0, sensor_dt=self.sensor_dt)
-            )
-        refined = refine_points(pc, est_dis)
-        gt_refined = np.asarray(
-            refine_points(pc, flow_to_comp_dis(gt_flow, dt0, sensor_dt=self.sensor_dt))
-        )
-        refined = np.asarray(refined)
+            est_dis = _comp_dis_np(est_flow, dt0, self.sensor_dt)
+        refined = pc[:, :3] + est_dis
+        gt_refined = pc[:, :3] + _comp_dis_np(gt_flow, dt0, self.sensor_dt)
 
         frame = _empty_store()
         for cat in TARGET_CATEGORIES:

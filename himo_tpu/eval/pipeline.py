@@ -11,8 +11,11 @@ from typing import Dict, Optional
 
 import numpy as np
 
-from himo_tpu.core.compensation import CLOSE_DISTANCE_THRESHOLD
-from himo_tpu.core.compensation import AV2_EGO_BOX
+from himo_tpu.core.compensation import (
+    AV2_EGO_BOX,
+    CLOSE_DISTANCE_THRESHOLD,
+    SCANIA_EGO_BOX,
+)
 
 
 def _ego_mask_np(pts: np.ndarray, min_bound, max_bound) -> np.ndarray:
@@ -43,17 +46,17 @@ def prepare_frame(
     pose0, pose1 = data["pose0"], data["pose1"]
     ego_pose = np.linalg.inv(pose1) @ pose0
     pose_flow = (xyz @ ego_pose[:3, :3].T + ego_pose[:3, 3] - xyz).astype(np.float32)
-    gt_flow = data["flow"].astype(np.float32) - pose_flow
+    # Test-split scenes carry no GT flow (the submission path never needs it).
+    gt_flow = (
+        data["flow"].astype(np.float32) - pose_flow if "flow" in data else None
+    )
 
     dis_mask = np.linalg.norm(xyz[:, :2], axis=1) <= CLOSE_DISTANCE_THRESHOLD
     notgm = ~np.asarray(data["gm0"], dtype=bool)
     if data_name == "scania":
-        mask_eval = (
-            dis_mask
-            & np.asarray(data["flow_is_valid"], dtype=bool)
-            & notgm
-            & _ego_mask_np(xyz, (-9.5, -1.5, 0.0), (5.0, 1.380002, 5.0))
-        )
+        mask_eval = dis_mask & notgm & _ego_mask_np(xyz, *SCANIA_EGO_BOX)
+        if "flow_is_valid" in data:
+            mask_eval &= np.asarray(data["flow_is_valid"], dtype=bool)
     else:
         mask_eval = dis_mask & notgm & _ego_mask_np(xyz, *AV2_EGO_BOX)
 

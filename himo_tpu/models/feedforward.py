@@ -221,7 +221,7 @@ def _feedforward_estimator(name: str):
             params = load_checkpoint(checkpoint)["params"]
 
         @jax.jit
-        def estimate(pc0, pc1, valid0, valid1, key=None, history=None):
+        def _estimate(pc0, pc1, valid0, valid1, key=None, history=None):
             sweeps = [pc0[:, :3], pc1[:, :3]]
             valids = [valid0, valid1]
             if config.num_frames >= 3:
@@ -234,6 +234,11 @@ def _feedforward_estimator(name: str):
             flow = model.apply(params, tuple(sweeps), tuple(valids))
             return flow, jnp.zeros(())
 
+        def estimate(pc0, pc1, valid0, valid1, key=None, history=None):
+            return _estimate(pc0, pc1, valid0, valid1, key, history)
+
+        # Let callers (models/runner.py) know how many sweeps to feed.
+        estimate.num_frames = config.num_frames
         return estimate
 
     return factory

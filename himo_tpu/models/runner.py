@@ -77,8 +77,10 @@ def estimate_scene_flow(
         kwargs["checkpoint"] = checkpoint
     estimator = get_estimator(model, **kwargs)
     output_key = output_key or model
+    # Feed-forward ++ variants consume a third (history) sweep.
+    with_history = getattr(estimator, "num_frames", 2) >= 3
 
-    dataset = SceneFlowDataset(data_dir, with_pc1=True)
+    dataset = SceneFlowDataset(data_dir, with_pc1=True, with_history=with_history)
     key = jax.random.PRNGKey(seed)
     timer = Timer()
     total_points = 0
@@ -91,9 +93,10 @@ def estimate_scene_flow(
     for i in iterator:
         with timer("load"):
             data = dataset[i]
-        # Scene-final frames have pose1 == pose0 and pc1 == pc0; skip them
-        # (no successor to estimate against), matching eval-index exclusion.
-        if np.array_equal(data["pose0"], data["pose1"]) and i == len(dataset) - 1:
+        # Scene-final frames have no successor to estimate against — skip
+        # every one of them (matching the eval-index exclusion), not just the
+        # dataset-final frame.
+        if not data.get("has_next", True):
             continue
         xyz0 = data["pc0"][:, :3]
         xyz1 = data["pc1"][:, :3]
@@ -118,9 +121,24 @@ def estimate_scene_flow(
             target = bucket_size(max(len(est0), len(est1)))
             p0, v0 = _pad_cloud(est0, ~gm0, target)
             p1, v1 = _pad_cloud(est1, ~gm1, target)
+            history = None
+            if with_history:
+                from himo_tpu.core.transforms import relative_pose, transform_points
+
+                xyzp = data["pc_prev"][:, :3].astype(np.float32)
+                rel = relative_pose(data["pose_prev"], data["pose1"])
+                hist = transform_points(xyzp, rel).astype(np.float32)
+                gmh = np.asarray(data["gm_prev"], bool)
+                if len(hist) > target:  # fit the estimation bucket
+                    keep = rng_np.choice(len(hist), target, replace=False)
+                    hist, gmh = hist[keep], gmh[keep]
+                history = _pad_cloud(hist, ~gmh, target)
         key, sub = jax.random.split(key)
         with timer("estimate"):
-            residual, loss = estimator(p0, p1, v0, v1, sub)
+            if with_history:
+                residual, loss = estimator(p0, p1, v0, v1, sub, history=history)
+            else:
+                residual, loss = estimator(p0, p1, v0, v1, sub)
             residual = np.asarray(residual)[: len(est0)]
         if sub_idx is not None:
             with timer("upsample"):

@@ -93,7 +93,10 @@ def make_fleet_step(model, params, config: FleetConfig):
         residual = model.apply(params, tuple(sweeps), tuple(valids))
         comp_dis = residual * (frame["dt0"] / config.sensor_dt)[:, None]
         comp_dis = jnp.where(frame["valid0"][:, None], comp_dis, 0.0)
-        refined = frame["pc0"] + comp_dis
+        # frame["pc0"] is ego-compensated (xyz0 + pose_flow); the de-skewed
+        # cloud lives in the ORIGINAL ego0 frame: xyz0 + comp_dis — matching
+        # core.deskew / reference refine_pts semantics.
+        refined = frame["pc0"] - frame["pose_flow"] + comp_dis
         total_flow = frame["pose_flow"] + residual
         return {"comp_dis": comp_dis, "refined": refined, "flow": total_flow}
 

@@ -4,9 +4,10 @@ Fills the role of the reference's ``+ssl_label=seflowpp_auto`` auxiliary
 labels (assets/slurm/ssl-train-av2.sh:33; the SeFlow recipe uses DUFOMap
 occupancy change + HDBSCAN in the absent submodule). TPU-era replacement:
 
-- dynamic evidence — symmetric NN residual: after ego-compensation a static
-  point finds a near neighbor in the other sweep; points whose NN distance
-  exceeds ``dynamic_threshold`` in BOTH directions of time are dynamic.
+- dynamic evidence — NN residual: after ego-compensation a static point
+  finds a near neighbor in the next sweep; points whose NN distance exceeds
+  ``dynamic_threshold`` are dynamic. (One-directional: occlusion in pc1 can
+  yield false positives; a symmetric/backward check is future work.)
 - clusters — DBSCAN over the dynamic points (sklearn on host; labels are
   data-prep artifacts, not in the jit path), ids compacted to
   ``1..num_clusters``, 0 = background.

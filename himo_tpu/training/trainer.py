@@ -287,15 +287,24 @@ def train(
     ckpts = CheckpointManager(f"{run_dir}/ckpts", keep=config.keep_checkpoints)
 
     step = 0
+    start_epoch = 0
     if resume:
-        latest_step, tree = ckpts.restore_latest()
+        target = {"params": params, "opt_state": opt_state, "step": 0}
+        latest_step, tree = ckpts.restore_latest(target=target)
         if tree is not None:
             params = jax.device_put(tree["params"], replicated(mesh))
+            opt_state = tree["opt_state"]
             step = int(latest_step)
-            print(f"[train] resumed from step {step} in {run_dir}/ckpts")
+            # Continue at the epoch the checkpoint was taken in — resumed
+            # runs train the REMAINING epochs, not all of them again.
+            start_epoch = min(step // max(steps_per_epoch, 1), config.epochs)
+            print(
+                f"[train] resumed from step {step} (epoch {start_epoch}) "
+                f"in {run_dir}/ckpts"
+            )
     last_metrics: Dict[str, float] = {}
     t0 = time.time()
-    for epoch in range(config.epochs):
+    for epoch in range(start_epoch, config.epochs):
         for batch in batch_iterator(dataset, config, num_frames, rng):
             batch = shard_batch(mesh, batch)
             params, opt_state, metrics = train_step(params, opt_state, batch)
@@ -306,8 +315,8 @@ def train(
                 logger.log(last_metrics, step, prefix="train/")
                 logger.print(last_metrics, step, prefix=f"epoch {epoch} ")
         if (epoch + 1) % config.val_every == 0 or epoch == config.epochs - 1:
-            ckpts.save(step, {"params": params, "step": step})
-    ckpts.save(step, {"params": params, "step": step})
+            ckpts.save(step, {"params": params, "opt_state": opt_state, "step": step})
+    ckpts.save(step, {"params": params, "opt_state": opt_state, "step": step})
     ckpts.close()
     logger.close()
     return {

@@ -90,3 +90,31 @@ def test_score_extracted_directories(archives, tmp_path):
     scores = score(str(gt_dir), str(pred_dir))
     assert scores["mpe"] < 1e-6
     assert scores["num_frames"] == 3
+
+
+def test_save_zip_on_test_split_without_gt(tmp_path):
+    """Leaderboard test splits carry no GT flow; save_zip must still export."""
+    import h5py
+
+    from himo_tpu.cli.save_zip import main as save_zip_main
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.io.submission import list_sweep_uuids
+
+    root = tmp_path / "av2_test_split"
+    make_dataset(root, num_scenes=1, num_frames=3, seed=9, method_flows={"m": 0.0})
+    # Strip every GT field, as a held-out split would ship.
+    for h5_path in root.glob("*.h5"):
+        with h5py.File(h5_path, "a") as f:
+            for key in f:
+                g = f[key]
+                for gt_key in (
+                    "flow",
+                    "flow_is_valid",
+                    "flow_category_indices",
+                    "flow_instance_id",
+                    "ego_motion",
+                ):
+                    if gt_key in g:
+                        del g[gt_key]
+    zip_path = save_zip_main(data_dir=str(root), res_name="m")
+    assert len(list_sweep_uuids(zip_path)) == 2

@@ -162,6 +162,13 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     run_dir = str(tmp_path / "run")
     first = train(str(root), config, run_dir=run_dir, model_overrides=overrides)
     assert first["steps"] == 2  # 10 frames -> 1 batch/epoch x 2 epochs
-    second = train(str(root), config, run_dir=run_dir, model_overrides=overrides)
-    # Resumed from step 2, then ran two more epochs.
+    # Resuming a COMPLETED run is a no-op (start epoch == epochs).
+    same = train(str(root), config, run_dir=run_dir, model_overrides=overrides)
+    assert same["steps"] == 2
+    # Extending the budget resumes at the saved step/opt state and trains
+    # only the remaining epochs.
+    import dataclasses
+
+    longer = dataclasses.replace(config, epochs=4)
+    second = train(str(root), longer, run_dir=run_dir, model_overrides=overrides)
     assert second["steps"] == 4
