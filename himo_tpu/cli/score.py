@@ -41,6 +41,13 @@ def main(argv=None) -> dict:
     parser.add_argument("--pred_zip", type=str, default=None)
     parser.add_argument("--output_dir", type=str, default=None)
     parser.add_argument("--flow_mode", type=str, default="submission")
+    parser.add_argument(
+        "--data_name",
+        type=str,
+        default=None,
+        choices=("scania", "av2"),
+        help="Override dataset identity when archive names don't contain it",
+    )
     args = parser.parse_args(argv)
 
     codabench_input = Path("/app/input")
@@ -56,7 +63,7 @@ def main(argv=None) -> dict:
         gt_path, pred_path = args.gt_zip, args.pred_zip
         output_dir, flow_mode = args.output_dir, args.flow_mode
 
-    return score(gt_path, pred_path, output_dir, flow_mode)
+    return score(gt_path, pred_path, output_dir, flow_mode, data_name=args.data_name)
 
 
 if __name__ == "__main__":

@@ -238,13 +238,30 @@ def score(
     pred_path: str,
     output_dir: Optional[str] = None,
     flow_mode: str = "submission",
+    data_name: Optional[str] = None,
 ) -> dict:
     """Score a prediction archive against a GT archive; print + save results."""
     from tabulate import tabulate
     from tqdm import tqdm
 
-    lowered = (str(gt_path) + str(pred_path)).lower()
-    data_name = "scania" if "scania" in lowered else ("av2" if "av2" in lowered else "scania")
+    # Dataset identity picks the min-velocity filter (1.5 scania / 3.0 av2);
+    # refuse to guess on unrecognized archive names like the reference's
+    # check_valid does (utils/__init__.py:10-11) rather than silently scoring
+    # under the wrong filter. Pass data_name explicitly to override.
+    if data_name is None:
+        lowered = (str(gt_path) + str(pred_path)).lower()
+        if "scania" in lowered:
+            data_name = "scania"
+        elif "av2" in lowered:
+            data_name = "av2"
+        else:
+            raise ValueError(
+                "Cannot infer dataset from archive paths "
+                f"({gt_path!r}, {pred_path!r}); expected 'scania' or 'av2' in "
+                "the name, or pass data_name explicitly"
+            )
+    if data_name not in ("scania", "av2"):
+        raise ValueError(f"Unknown data_name {data_name!r}: expected scania or av2")
 
     gt_sweeps = list_sweep_uuids(gt_path)
     pred_sweeps = set(list_sweep_uuids(pred_path))

@@ -37,6 +37,22 @@ def test_gt_vs_gt_scores_zero(archives, tmp_path):
     assert (tmp_path / "res-av2.json").exists()
 
 
+def test_unknown_dataset_raises(archives, tmp_path):
+    """Ambiguous archive names must raise (reference check_valid
+    utils/__init__.py:10-11), not silently score under scania's min_vel."""
+    import shutil
+
+    anon = tmp_path / "anonymous-submit.zip"
+    shutil.copy(archives["gt"], anon)
+    with pytest.raises(ValueError, match="Cannot infer dataset"):
+        score(str(anon), str(anon))
+    # Explicit override restores scoring on anonymous archives.
+    scores = score(str(anon), str(anon), data_name="av2")
+    assert scores["mpe"] < 1e-6
+    with pytest.raises(ValueError, match="Unknown data_name"):
+        score(str(anon), str(anon), data_name="kitti")
+
+
 def test_perfect_prediction_scores_zero(archives):
     scores = score(archives["gt"], archives["perfect"])
     assert scores["mpe"] < 1e-6
@@ -81,7 +97,7 @@ def test_score_extracted_directories(archives, tmp_path):
     """The scorer accepts extracted directories as well as zips."""
     from zipfile import ZipFile
 
-    gt_dir = tmp_path / "gt_extracted"
+    gt_dir = tmp_path / "gt_av2_extracted"
     with ZipFile(archives["gt"]) as zf:
         zf.extractall(gt_dir)
     pred_dir = tmp_path / "pred_extracted"
