@@ -34,6 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 _SCATTER_CHUNK = 2048
 _NEG = -3.0e38
 _VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# Banded kernels keep one image band resident while streaming point chunks;
+# bands are double-buffered by the pipeline, so budget half of the resident
+# case (leaves room for the out/feat chunk blocks too).
+_BAND_BUDGET_BYTES = 5 * 1024 * 1024
+
+
+def _interpret() -> bool:
+    """Run the Pallas kernels through the interpreter (CPU test coverage)."""
+    import os
+
+    return os.environ.get("HIMO_PALLAS_INTERPRET") == "1"
 
 
 def _pallas_fits(num_rows: int, channels: int, itemsize: int = 4) -> bool:
@@ -68,90 +79,8 @@ def _scatter_kernel(combine):
     return kernel
 
 
-def _banded_scatter_kernel(combine, rows_per_band: int):
-    """Band variant: only pids inside [lo, lo + rows_per_band) store."""
-
-    def kernel(lo_ref, pid_ref, feat_ref, o_ref):
-        step = pl.program_id(0)
-        lo = lo_ref[0]
-
-        @pl.when(step == 0)
-        def _():
-            o_ref[:, :] = jnp.full_like(o_ref, _NEG if combine == "max" else 0.0)
-
-        def body(i, _):
-            pid = pid_ref[step * _SCATTER_CHUNK + i]
-            local = pid - lo
-
-            @pl.when((local >= 0) & (local < rows_per_band))
-            def _():
-                row = feat_ref[i, :][None, :]
-                cur = o_ref[pl.ds(local, 1), :]
-                if combine == "max":
-                    o_ref[pl.ds(local, 1), :] = jnp.maximum(cur, row)
-                else:
-                    o_ref[pl.ds(local, 1), :] = cur + row
-            return 0
-
-        jax.lax.fori_loop(0, _SCATTER_CHUNK, body, 0)
-
-    return kernel
-
-
 @functools.lru_cache(maxsize=None)
-def _scatter_rows_banded_fn(num_rows: int, combine: str, bands: int):
-    """Images beyond the VMEM budget: lax.map over row bands, each band a
-    full pass over the points with predicated stores (band work is
-    sequential anyway — the kernel is per-point latency-bound)."""
-
-    def band_rows() -> int:
-        return -(-(num_rows + 8) // (bands * 8)) * 8
-
-    rows = band_rows()
-
-    def band_call(lo, pids, feats):
-        n, c = feats.shape
-        return pl.pallas_call(
-            _banded_scatter_kernel(combine, rows),
-            out_shape=jax.ShapeDtypeStruct((rows, c), feats.dtype),
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=2,
-                grid=(n // _SCATTER_CHUNK,),
-                in_specs=[
-                    pl.BlockSpec(
-                        (_SCATTER_CHUNK, c),
-                        lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
-                ],
-                out_specs=pl.BlockSpec(
-                    (rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
-                ),
-            ),
-        )(lo, pids, feats)
-
-    @jax.custom_batching.custom_vmap
-    def scatter(pids, feats):
-        los = (jnp.arange(bands, dtype=jnp.int32) * rows)[:, None]
-
-        def one(lo):
-            return jax.lax.optimization_barrier(band_call(lo, pids, feats))
-
-        out = jax.lax.map(one, los)  # (bands, rows, c)
-        return out.reshape(bands * rows, -1)[: num_rows + 8]
-
-    @scatter.def_vmap
-    def _vmap_rule(axis_size, in_batched, pids, feats):
-        if not all(in_batched):
-            raise NotImplementedError("banded scatter expects both args batched")
-        out = jax.lax.map(lambda ab: scatter(*ab), (pids, feats))
-        return out, True
-
-    return scatter
-
-
-@functools.lru_cache(maxsize=None)
-def _scatter_rows_fn(num_rows: int, combine: str):
+def _scatter_rows_fn(num_rows: int, combine: str, interpret: bool = False):
     """Per-(rows, combine) scatter function (custom_vmap needs positional
     binding, hence the factory). Batching lowers to a sequential lax.map with
     an optimization barrier per iteration — without the barrier XLA fuses the
@@ -179,6 +108,7 @@ def _scatter_rows_fn(num_rows: int, combine: str):
                     (num_rows + 8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
                 ),
             ),
+            interpret=interpret,
         )(pids, feats)
 
     @scatter.def_vmap
@@ -205,15 +135,12 @@ def _float0_like(x):
 
 
 @functools.lru_cache(maxsize=None)
-def _diff_scatter_fn(num_rows: int, combine: str, bands: int = 1):
+def _diff_scatter_fn(num_rows: int, combine: str, interpret: bool = False):
     """custom_vjp wrapper around the Pallas scatter: the kernel itself has no
     autodiff rule, but the gradients are analytic —
     max: the winning point(s) per (pillar, channel) receive the cotangent;
     sum: every in-range point receives its pillar's cotangent (linear)."""
-    if bands > 1:
-        kernel_fn = _scatter_rows_banded_fn(num_rows, combine, bands)
-    else:
-        kernel_fn = _scatter_rows_fn(num_rows, combine)
+    kernel_fn = _scatter_rows_fn(num_rows, combine, interpret)
 
     @jax.custom_vjp
     def core(pids, feats):
@@ -237,28 +164,204 @@ def _diff_scatter_fn(num_rows: int, combine: str, bands: int = 1):
     return core
 
 
-def _num_bands(num_rows: int, channels: int, budget: int = _VMEM_BUDGET_BYTES) -> int:
-    """Row bands needed so each band's image slice fits the VMEM budget."""
-    bands = 1
-    while (
-        (-(-(num_rows + 8) // bands) + 8) * channels * 4 > budget and bands < 64
-    ):
-        bands *= 2
-    return bands
+# ---------------------------------------------------------------------------
+# Sorted-banded kernels: images beyond the VMEM budget split into row bands.
+# Points are pre-sorted by pillar id (cheap XLA argsort), so each band's
+# points form one contiguous index range: ``starts[b] = searchsorted(pids,
+# b * band_rows)``. The kernels loop over EXACTLY the points of the current
+# (band, chunk) intersection — total per-point work is N, not bands * N, and
+# there are no per-point predicates. The gather additionally selects which
+# image band to fetch through a scalar-prefetch index map; with sorted pids
+# the mapped band index is monotone over the grid, so Pallas re-fetches each
+# band only at chunk boundaries (~bands + chunks fetches total).
+
+
+def _band_partition(num_rows: int, channels: int) -> Tuple[int, int, int]:
+    """(bands, band_rows, total_rows): band_rows*channels*4 <= band budget."""
+    limit = max(_BAND_BUDGET_BYTES // (channels * 4), 8)
+    bands = -(-(num_rows + 8) // limit)
+    band_rows = -(-(num_rows + 8) // (bands * 8)) * 8
+    return bands, band_rows, bands * band_rows
+
+
+def _band_starts(pids_sorted, bands: int, band_rows: int):
+    """starts[b] = first sorted index with pid >= b * band_rows."""
+    n = pids_sorted.shape[0]
+    bounds = jnp.arange(1, bands, dtype=pids_sorted.dtype) * band_rows
+    inner = jnp.searchsorted(pids_sorted, bounds, side="left").astype(jnp.int32)
+    return jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), inner, jnp.full((1,), n, jnp.int32)]
+    )
+
+
+def _pad_sorted(pids_sorted, pad_pid: int, feats=None):
+    """Pad sorted pids (and row-aligned feats) to a chunk multiple; the pad
+    id must be >= every real pid to preserve sortedness."""
+    n = pids_sorted.shape[0]
+    pad = -n % _SCATTER_CHUNK
+    if pad:
+        pids_sorted = jnp.concatenate(
+            [pids_sorted, jnp.full((pad,), pad_pid, pids_sorted.dtype)]
+        )
+        if feats is not None:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((pad, feats.shape[1]), feats.dtype)]
+            )
+    return (pids_sorted, feats) if feats is not None else pids_sorted
+
+
+def _sorted_scatter_band_kernel(combine: str):
+    """One band: the output block is the whole band (constant index map —
+    multi-block output windows materialize fully in Mosaic, see TODO.md);
+    the grid streams point chunks, and each step only loops over the sorted
+    index range [s, e) that intersects this band — no per-point predicates."""
+
+    def kernel(meta_ref, pids_ref, feat_ref, o_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            o_ref[:, :] = jnp.full_like(o_ref, _NEG if combine == "max" else 0.0)
+
+        s = jnp.maximum(meta_ref[0], step * _SCATTER_CHUNK)
+        e = jnp.minimum(meta_ref[1], (step + 1) * _SCATTER_CHUNK)
+        lo = meta_ref[2]
+        base = step * _SCATTER_CHUNK
+
+        def body(i, _):
+            local = pids_ref[i] - lo
+            row = feat_ref[pl.ds(i - base, 1), :]
+            cur = o_ref[pl.ds(local, 1), :]
+            if combine == "max":
+                o_ref[pl.ds(local, 1), :] = jnp.maximum(cur, row)
+            else:
+                o_ref[pl.ds(local, 1), :] = cur + row
+            return 0
+
+        jax.lax.fori_loop(s, e, body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _sorted_scatter_call(num_rows: int, channels: int, combine: str, interpret: bool):
+    bands, band_rows, total_rows = _band_partition(num_rows, channels)
+
+    def band_call(meta, pids, feats):
+        n, c = feats.shape
+        return pl.pallas_call(
+            _sorted_scatter_band_kernel(combine),
+            out_shape=jax.ShapeDtypeStruct((band_rows, c), feats.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n // _SCATTER_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (_SCATTER_CHUNK, c),
+                        lambda i, *_: (i, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (band_rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            interpret=interpret,
+        )(meta, pids, feats)
+
+    @jax.custom_batching.custom_vmap
+    def scatter(starts, pids, feats):
+        n, c = feats.shape
+        assert n % _SCATTER_CHUNK == 0 and c == channels, (n, c)
+        los = jnp.arange(bands, dtype=jnp.int32) * band_rows
+        metas = jnp.stack([starts[:-1], starts[1:], los], axis=1)
+
+        def one(meta):
+            return jax.lax.optimization_barrier(band_call(meta, pids, feats))
+
+        out = jax.lax.map(one, metas)  # (bands, band_rows, c)
+        return out.reshape(total_rows, c)[: num_rows + 8]
+
+    @scatter.def_vmap
+    def _vmap_rule(axis_size, in_batched, starts, pids, feats):
+        if not all(in_batched):
+            raise NotImplementedError("sorted scatter expects batched args")
+        out = jax.lax.map(lambda abc: scatter(*abc), (starts, pids, feats))
+        return out, True
+
+    return scatter
+
+
+def _sort_rows_by_key(keys, rows):
+    """Sort (N,) keys and (N, C) rows together.
+
+    argsort + row takes: the takes are per-row latency-bound (~20 ns/row on
+    v5e) but a multi-operand ``lax.sort`` carrying every feature column is
+    far worse (~350 ms/frame at C=33 and minutes of compile time), so this
+    is the fastest known composition."""
+    order = jnp.argsort(keys)
+    return jnp.take(keys, order), jnp.take(rows, order, axis=0)
+
+
+def _sorted_scatter_forward(pids, feats, *, num_rows, combine, interpret):
+    """Non-differentiable sorted scatter: sort rows, band, run the kernel."""
+    channels = feats.shape[1]
+    bands, band_rows, _ = _band_partition(num_rows, channels)
+    ps, fs = _sort_rows_by_key(pids, feats)
+    ps, fs = _pad_sorted(ps, num_rows, fs)
+    starts = _band_starts(ps, bands, band_rows)
+    call = _sorted_scatter_call(num_rows, channels, combine, interpret)
+    return call(starts, ps, fs)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_scatter_sorted_fn(num_rows: int, combine: str, interpret: bool = False):
+    """Differentiable sorted-banded scatter over (pids, feats)."""
+
+    @jax.custom_vjp
+    def core(pids, feats):
+        return _sorted_scatter_forward(
+            pids, feats, num_rows=num_rows, combine=combine, interpret=interpret
+        )
+
+    def fwd(pids, feats):
+        out = core(pids, feats)
+        return out, (pids, feats, out)
+
+    def bwd(residuals, g):
+        pids, feats, out = residuals
+        g_at = jnp.take(g, pids, axis=0)
+        if combine == "max":
+            winner = feats == jnp.take(out, pids, axis=0)
+            dfeat = jnp.where(winner, g_at, 0.0)
+        else:
+            dfeat = g_at
+        return _float0_like(pids), dfeat
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def _scatter_rows_pallas(pids, feats, *, num_rows: int, combine: str = "max"):
     """Scatter (N, C) rows into (num_rows + 8, C); trash rows go at the end.
 
-    N must be a multiple of the chunk size (callers pad with trash ids).
-    The kernel is fp32-only (single-row bf16 dynamic stores crash Mosaic);
+    The kernels are fp32-only (single-row bf16 dynamic stores crash Mosaic);
     lower precisions are routed through fp32 — scatter is latency-bound, so
-    the conversion is free. Differentiable via the analytic custom VJP.
-    Images beyond the VMEM budget split into row bands."""
+    the conversion is free. Differentiable via the analytic custom VJPs.
+    Images beyond the VMEM budget use the sorted-banded kernel."""
     dtype = feats.dtype
-    bands = _num_bands(num_rows, feats.shape[1])
-    out = _diff_scatter_fn(num_rows, combine, bands)(pids, feats.astype(jnp.float32))
+    interpret = _interpret()
+    if _pallas_fits(num_rows, feats.shape[1]):
+        pids, feats32 = _pad_for_scatter(pids, feats.astype(jnp.float32), num_rows)
+        out = _diff_scatter_fn(num_rows, combine, interpret)(pids, feats32)
+    else:
+        out = _diff_scatter_sorted_fn(num_rows, combine, interpret)(
+            pids, feats.astype(jnp.float32)
+        )
     return out.astype(dtype)
+
+
+# ------------------------------------------------------------------- gather
 
 
 def _gather_kernel(pid_ref, img_ref, o_ref):
@@ -272,67 +375,193 @@ def _gather_kernel(pid_ref, img_ref, o_ref):
     jax.lax.fori_loop(0, _SCATTER_CHUNK, body, 0)
 
 
-@jax.custom_batching.custom_vmap
-def _gather_rows_pallas(pids, image):
-    """Gather rows of the VMEM-resident pillar image per point id."""
-    n = pids.shape[0]
-    rows, c = image.shape
-    assert n % _SCATTER_CHUNK == 0, n
-    return pl.pallas_call(
-        _gather_kernel,
-        out_shape=jax.ShapeDtypeStruct((n, c), image.dtype),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n // _SCATTER_CHUNK,),
-            in_specs=[
-                pl.BlockSpec((rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (_SCATTER_CHUNK, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+@functools.lru_cache(maxsize=None)
+def _gather_rows_fn(interpret: bool = False):
+    @jax.custom_batching.custom_vmap
+    def gather_rows(pids, image):
+        """Gather rows of the VMEM-resident pillar image per point id."""
+        n = pids.shape[0]
+        rows, c = image.shape
+        assert n % _SCATTER_CHUNK == 0, n
+        return pl.pallas_call(
+            _gather_kernel,
+            out_shape=jax.ShapeDtypeStruct((n, c), image.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // _SCATTER_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (_SCATTER_CHUNK, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
+                ),
             ),
-        ),
-    )(pids, image)
+            interpret=interpret,
+        )(pids, image)
+
+    @gather_rows.def_vmap
+    def _gather_vmap_rule(axis_size, in_batched, pids, image):
+        def one(args):
+            return jax.lax.optimization_barrier(gather_rows(*args))
+
+        if not all(in_batched):
+            raise NotImplementedError("gather expects both args batched")
+        out = jax.lax.map(one, (pids, image))
+        return out, True
+
+    return gather_rows
 
 
-@_gather_rows_pallas.def_vmap
-def _gather_vmap_rule(axis_size, in_batched, pids, image):
-    def one(args):
-        return jax.lax.optimization_barrier(_gather_rows_pallas(*args))
+@functools.lru_cache(maxsize=None)
+def _diff_gather_resident_fn(interpret: bool = False):
+    kernel_fn = _gather_rows_fn(interpret)
 
-    if not all(in_batched):
-        raise NotImplementedError("gather expects both args batched")
-    out = jax.lax.map(one, (pids, image))
-    return out, True
+    @jax.custom_vjp
+    def core(pids, image):
+        """Differentiable Pallas gather (VMEM-resident image): the transpose
+        of a gather is a scatter-add, served by the sum-scatter kernel."""
+        return kernel_fn(pids, image)
 
+    def fwd(pids, image):
+        return kernel_fn(pids, image), (pids, image.shape[0])
 
-@jax.custom_vjp
-def _gather_rows_diff(pids, image):
-    """Differentiable Pallas gather: the transpose of a gather is a
-    scatter-add, served by the sum-scatter kernel. Wide images (beyond the
-    VMEM budget) stream in row bands."""
-    return _gather_dispatch(pids, image)
+    def bwd(residuals, g):
+        pids, rows = residuals
+        g_pad_pids, g_pad = _pad_for_scatter(pids, g, rows)
+        dimage = _diff_scatter_fn(rows, "sum", interpret)(g_pad_pids, g_pad)[:rows]
+        return _float0_like(pids), dimage
 
-
-def _gather_dispatch(pids, image):
-    # Resident-image kernel only: a banded-input variant does NOT stream —
-    # Mosaic materializes the whole window for input blocks revisited
-    # non-consecutively across the outer grid dim (measured: 512^2 x 32ch
-    # allocates the full 32 MiB image and OOMs scoped VMEM). Wide images
-    # take the XLA gather via the caller's gate. See TODO.md.
-    return _gather_rows_pallas(pids, image)
+    core.defvjp(fwd, bwd)
+    return core
 
 
-def _gather_rows_diff_fwd(pids, image):
-    return _gather_dispatch(pids, image), (pids, image.shape[0])
+def _sorted_gather_band_kernel():
+    """One band: the band image is the resident input (constant index map);
+    the grid streams output point chunks. Rows outside this band's sorted
+    range [s, e) are zeroed so the caller can sum the disjoint band parts."""
+
+    def kernel(meta_ref, pids_ref, img_ref, o_ref):
+        step = pl.program_id(0)
+        o_ref[:, :] = jnp.zeros_like(o_ref)
+        s = jnp.maximum(meta_ref[0], step * _SCATTER_CHUNK)
+        e = jnp.minimum(meta_ref[1], (step + 1) * _SCATTER_CHUNK)
+        lo = meta_ref[2]
+        base = step * _SCATTER_CHUNK
+
+        def body(i, _):
+            local = pids_ref[i] - lo
+            o_ref[pl.ds(i - base, 1), :] = img_ref[pl.ds(local, 1), :]
+            return 0
+
+        jax.lax.fori_loop(s, e, body, 0)
+
+    return kernel
 
 
-def _gather_rows_diff_bwd(residuals, g):
-    pids, rows = residuals
-    dimage = _diff_scatter_fn(rows, "sum")(pids, g)[:rows]
-    return _float0_like(pids), dimage
+@functools.lru_cache(maxsize=None)
+def _sorted_gather_call(num_rows: int, channels: int, interpret: bool):
+    bands, band_rows, total_rows = _band_partition(num_rows, channels)
+
+    def band_call(meta, pids, band_img):
+        n = pids.shape[0]
+        return pl.pallas_call(
+            _sorted_gather_band_kernel(),
+            out_shape=jax.ShapeDtypeStruct((n, channels), band_img.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n // _SCATTER_CHUNK,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (band_rows, channels),
+                        lambda i, *_: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (_SCATTER_CHUNK, channels),
+                    lambda i, *_: (i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            interpret=interpret,
+        )(meta, pids, band_img)
+
+    @jax.custom_batching.custom_vmap
+    def gather(starts, pids, image):
+        n = pids.shape[0]
+        rows, c = image.shape
+        assert n % _SCATTER_CHUNK == 0 and c == channels, (n, c)
+        if total_rows > rows:
+            image = jnp.pad(image, ((0, total_rows - rows), (0, 0)))
+        los = jnp.arange(bands, dtype=jnp.int32) * band_rows
+        metas = jnp.stack([starts[:-1], starts[1:], los], axis=1)
+
+        def band_step(acc, meta):
+            band_img = jax.lax.dynamic_slice(
+                image, (meta[2], jnp.int32(0)), (band_rows, c)
+            )
+            part = jax.lax.optimization_barrier(band_call(meta, pids, band_img))
+            return acc + part, None
+
+        out, _ = jax.lax.scan(
+            band_step, jnp.zeros((n, c), image.dtype), metas
+        )
+        return out
+
+    @gather.def_vmap
+    def _vmap_rule(axis_size, in_batched, *args):
+        if not all(in_batched):
+            raise NotImplementedError("sorted gather expects batched args")
+        out = jax.lax.map(lambda a: gather(*a), tuple(args))
+        return out, True
+
+    return gather
 
 
-_gather_rows_diff.defvjp(_gather_rows_diff_fwd, _gather_rows_diff_bwd)
+def _sorted_gather_forward(pids, image, *, num_rows, interpret):
+    """Banded gather of image rows at (unsorted) pids; pids < num_rows.
+
+    Kept for parity/testing; ``_diff_gather_sorted_fn`` uses the XLA row
+    take in its forward (same speed, simpler graph) and reserves the Pallas
+    banded machinery for the backward scatter-add, where XLA's unsorted
+    scatter is ~6x slower."""
+    channels = image.shape[1]
+    bands, band_rows, _ = _band_partition(num_rows, channels)
+    n = pids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    ps, order = jax.lax.sort((pids, iota), dimension=0, num_keys=1)
+    ps = _pad_sorted(ps, num_rows - 1)
+    starts = _band_starts(ps, bands, band_rows)
+    call = _sorted_gather_call(num_rows, channels, interpret)
+    out_sorted = call(starts, ps, image)[:n]
+    inv = jnp.argsort(order)
+    return jnp.take(out_sorted, inv, axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _diff_gather_sorted_fn(num_rows: int, interpret: bool = False):
+    """Differentiable wide-image gather over (pids, image): XLA row take
+    forward (latency-bound either way), sorted-banded Pallas scatter-add
+    backward (the XLA transpose would be an unsorted scatter, ~6x slower)."""
+
+    @jax.custom_vjp
+    def core(pids, image):
+        return jnp.take(image, pids, axis=0)
+
+    def fwd(pids, image):
+        return core(pids, image), (pids, image.shape[0])
+
+    def bwd(residuals, g):
+        pids, rows = residuals
+        dimage = _sorted_scatter_forward(
+            pids, g, num_rows=rows, combine="sum", interpret=interpret
+        )[:rows]
+        return _float0_like(pids), dimage
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def _pad_for_scatter(pids, feats, trash_row: int):
@@ -348,6 +577,10 @@ def _pad_for_scatter(pids, feats, trash_row: int):
 
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def _use_pallas() -> bool:
+    return _on_tpu() or _interpret()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -419,13 +652,14 @@ def scatter_mean(
     """Per-pillar mean of point features -> (H, W, C) dense image."""
     h, w = grid.grid_shape
     feats = jnp.where(grid.in_range[:, None], features, 0.0)
-    if _on_tpu():
+    if _use_pallas():
         # Fuse sums and counts into one scatter pass (ones column appended).
         aug = jnp.concatenate(
             [feats, grid.in_range.astype(feats.dtype)[:, None]], axis=1
         )
-        pids, aug = _pad_for_scatter(grid.pillar_ids, aug, h * w)
-        out = _scatter_rows_pallas(pids, aug, num_rows=h * w, combine="sum")[: h * w]
+        out = _scatter_rows_pallas(
+            grid.pillar_ids, aug, num_rows=h * w, combine="sum"
+        )[: h * w]
         sums, counts = out[:, :-1], out[:, -1]
     else:
         sums = jax.ops.segment_sum(feats, grid.pillar_ids, num_segments=h * w + 1)[
@@ -446,10 +680,11 @@ def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
     Empty pillars come out as 0 (not -inf)."""
     h, w = grid.grid_shape
     neg = jnp.finfo(features.dtype).min
-    if _on_tpu():
+    if _use_pallas():
         feats = jnp.where(grid.in_range[:, None], features, _NEG)
-        pids, feats = _pad_for_scatter(grid.pillar_ids, feats, h * w)
-        mx = _scatter_rows_pallas(pids, feats, num_rows=h * w, combine="max")[: h * w]
+        mx = _scatter_rows_pallas(
+            grid.pillar_ids, feats, num_rows=h * w, combine="max"
+        )[: h * w]
         mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
         return mx.reshape(h, w, -1)
     feats = jnp.where(grid.in_range[:, None], features, neg)
@@ -462,19 +697,24 @@ def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
 def gather_pillars(image: jax.Array, grid: PillarGrid) -> jax.Array:
     """Gather each point's pillar feature back from the dense image.
 
-    Out-of-range points get zeros."""
+    Out-of-range points get zeros. VMEM-resident Pallas kernel for small
+    images, sorted-banded streaming kernel beyond the budget, XLA take on
+    CPU."""
     h, w = grid.grid_shape
     flat = image.reshape(h * w, -1)
-    if _on_tpu() and _pallas_fits(h * w, flat.shape[1], 4):
-        n = grid.pillar_ids.shape[0]
-        safe = jnp.minimum(grid.pillar_ids, h * w - 1)
+    safe = jnp.minimum(grid.pillar_ids, h * w - 1)
+    n = safe.shape[0]
+    if _use_pallas() and _pallas_fits(h * w, flat.shape[1], 4):
         pad = -n % _SCATTER_CHUNK
         if pad:
             safe = jnp.concatenate([safe, jnp.zeros((pad,), safe.dtype)])
-        out = _gather_rows_diff(safe, flat.astype(jnp.float32))[:n].astype(
-            flat.dtype
-        )
+        out = _diff_gather_resident_fn(_interpret())(safe, flat.astype(jnp.float32))[
+            :n
+        ].astype(flat.dtype)
+    elif _use_pallas():
+        out = _diff_gather_sorted_fn(h * w, _interpret())(
+            safe, flat.astype(jnp.float32)
+        ).astype(flat.dtype)
     else:
-        safe = jnp.minimum(grid.pillar_ids, h * w - 1)
         out = flat[safe]
     return jnp.where(grid.in_range[:, None], out, 0.0)
