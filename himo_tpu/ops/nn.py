@@ -389,6 +389,353 @@ def truncated_chamfer(
     return masked_mean(d12, valid1) + masked_mean(d21, valid2)
 
 
+# ---------------------------------------------------------------------------
+# Fused SSL-chamfer mins: the seflowpp loss needs FOUR NN sweeps over the
+# same (warped pc0, pc1) pair — {all, dynamic-only} masks x {q->r, r->q}
+# directions — and each sweep recomputes the identical distance blocks. One
+# kernel computes each (QT, RT) block once and folds four masked running
+# mins: row mins (per query) stream with the outer grid dim, column mins
+# (per ref) live in a small fully-resident window. Masks are additive
+# penalties so the same coordinate tiles serve every variant.
+
+_MASK_BIG = 1.0e14  # additive penalty; SENTINEL^2 distances are ~1e12
+
+
+def _fused_nn_kernel(track_idx: bool):
+    def kernel(q_ref, r_ref, qa_ref, qd_ref, ra_ref, rd_ref, *outs):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        q = q_ref[:]
+        r = r_ref[:]
+        dot = jax.lax.dot_general(
+            q,
+            r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        rn = jnp.sum(r * r, axis=1)[None, :]
+        d2 = qn + rn - 2.0 * dot  # (QT, RT)
+        # Mask tables stay fully VMEM-resident ((n//T, T) float32, a few
+        # hundred KB); row i / j is this tile's additive penalty vector.
+        ra = ra_ref[j, :][None, :]
+        rd = rd_ref[j, :][None, :]
+        qa = qa_ref[i, :][:, None]
+        qd = qd_ref[i, :][:, None]
+
+        def fold_row(o_ref, vals, first):
+            @pl.when(first)
+            def _():
+                o_ref[i, :] = vals
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                o_ref[i, :] = jnp.minimum(o_ref[i, :], vals)
+
+        def fold_col(o_ref, vals, first):
+            @pl.when(first)
+            def _():
+                o_ref[j, :] = vals
+
+            @pl.when(jnp.logical_not(first))
+            def _():
+                o_ref[j, :] = jnp.minimum(o_ref[j, :], vals)
+
+        if not track_idx:
+            oqa, oqd, ora, ord_ = outs
+            fold_row(oqa, jnp.min(d2 + ra, axis=1), j == 0)
+            fold_row(oqd, jnp.min(d2 + rd, axis=1), j == 0)
+            fold_col(ora, jnp.min(d2 + qa, axis=0), i == 0)
+            fold_col(ord_, jnp.min(d2 + qd, axis=0), i == 0)
+        else:
+            oqa, oqd, ora, ord_, iqa, iqd, ira, ird = outs
+
+            def fold_row_idx(o_ref, i_ref, mat, first):
+                vals = jnp.min(mat, axis=1)
+                args = jnp.argmin(mat, axis=1).astype(jnp.int32) + j * _RT
+
+                @pl.when(first)
+                def _():
+                    o_ref[i, :] = vals
+                    i_ref[i, :] = args
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    better = vals < o_ref[i, :]
+                    o_ref[i, :] = jnp.where(better, vals, o_ref[i, :])
+                    i_ref[i, :] = jnp.where(better, args, i_ref[i, :])
+
+            def fold_col_idx(o_ref, i_ref, mat, first):
+                vals = jnp.min(mat, axis=0)
+                args = jnp.argmin(mat, axis=0).astype(jnp.int32) + i * _QT
+
+                @pl.when(first)
+                def _():
+                    o_ref[j, :] = vals
+                    i_ref[j, :] = args
+
+                @pl.when(jnp.logical_not(first))
+                def _():
+                    better = vals < o_ref[j, :]
+                    o_ref[j, :] = jnp.where(better, vals, o_ref[j, :])
+                    i_ref[j, :] = jnp.where(better, args, i_ref[j, :])
+
+            fold_row_idx(oqa, iqa, d2 + ra, j == 0)
+            fold_row_idx(oqd, iqd, d2 + rd, j == 0)
+            fold_col_idx(ora, ira, d2 + qa, i == 0)
+            fold_col_idx(ord_, ird, d2 + qd, i == 0)
+
+    return kernel
+
+
+def _fused_pallas(q, r, qa, qd, ra, rd, track_idx: bool):
+    nq, nr = q.shape[0], r.shape[0]
+    gi, gj = nq // _QT, nr // _RT
+    qshape = jax.ShapeDtypeStruct((gi, _QT), jnp.float32)
+    rshape = jax.ShapeDtypeStruct((gj, _RT), jnp.float32)
+    out_shape = (qshape, qshape, rshape, rshape)
+    if track_idx:
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((gi, _QT), jnp.int32),
+            jax.ShapeDtypeStruct((gi, _QT), jnp.int32),
+            jax.ShapeDtypeStruct((gj, _RT), jnp.int32),
+            jax.ShapeDtypeStruct((gj, _RT), jnp.int32),
+        )
+    qspec = pl.BlockSpec((gi, _QT), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((gj, _RT), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = (qspec, qspec, rspec, rspec)
+    if track_idx:
+        out_specs = out_specs + (qspec, qspec, rspec, rspec)
+    outs = pl.pallas_call(
+        _fused_nn_kernel(track_idx),
+        out_shape=out_shape,
+        grid_spec=pl.GridSpec(
+            grid=(gi, gj),
+            in_specs=[
+                pl.BlockSpec((_QT, _K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_RT, _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gi, _QT), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gi, _QT), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gj, _RT), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gj, _RT), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * nr * _K,
+            bytes_accessed=4 * (nq * _K + nr * _K + 2 * nq + 2 * nr),
+            transcendentals=0,
+        ),
+    )(
+        q,
+        r,
+        qa.reshape(gi, _QT),
+        qd.reshape(gi, _QT),
+        ra.reshape(gj, _RT),
+        rd.reshape(gj, _RT),
+    )
+    return tuple(o.reshape(-1) for o in outs)
+
+
+def _fused_xla(q, r, qa, qd, ra, rd):
+    """Streaming XLA fallback with argmins (CPU backends + kernel checks)."""
+    r_tiles = r.reshape(-1, _RT, _K)
+    ra_t = ra.reshape(-1, _RT)
+    rd_t = rd.reshape(-1, _RT)
+
+    def per_query_tile(inp):
+        q_tile, qa_tile, qd_tile = inp
+        qn = jnp.sum(q_tile * q_tile, axis=1, keepdims=True)
+
+        def fold(carry, tile):
+            r_tile, ra_row, rd_row, offset = tile
+            dot = jax.lax.dot_general(
+                q_tile,
+                r_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rn = jnp.sum(r_tile * r_tile, axis=1)[None, :]
+            d2 = qn + rn - 2.0 * dot
+
+            def fold_min(best, mat, off):
+                bd, bi = best
+                vals = jnp.min(mat, axis=1)
+                args = jnp.argmin(mat, axis=1).astype(jnp.int32) + off
+                better = vals < bd
+                return jnp.where(better, vals, bd), jnp.where(better, args, bi)
+
+            qa_best, qd_best, ra_parts, rd_parts = carry
+            qa_best = fold_min(qa_best, d2 + ra_row[None, :], offset)
+            qd_best = fold_min(qd_best, d2 + rd_row[None, :], offset)
+            ra_parts = ra_parts + [
+                (jnp.min(d2 + qa_tile[:, None], axis=0),
+                 jnp.argmin(d2 + qa_tile[:, None], axis=0).astype(jnp.int32))
+            ]
+            rd_parts = rd_parts + [
+                (jnp.min(d2 + qd_tile[:, None], axis=0),
+                 jnp.argmin(d2 + qd_tile[:, None], axis=0).astype(jnp.int32))
+            ]
+            return (qa_best, qd_best, ra_parts, rd_parts), None
+
+        init_best = (
+            jnp.full((q_tile.shape[0],), jnp.inf, jnp.float32),
+            jnp.zeros((q_tile.shape[0],), jnp.int32),
+        )
+        carry = (init_best, init_best, [], [])
+        offsets = jnp.arange(r_tiles.shape[0], dtype=jnp.int32) * _RT
+        for k in range(r_tiles.shape[0]):
+            carry, _ = fold(carry, (r_tiles[k], ra_t[k], rd_t[k], offsets[k]))
+        qa_best, qd_best, ra_parts, rd_parts = carry
+        ra_d = jnp.concatenate([p[0] for p in ra_parts])
+        ra_i = jnp.concatenate([p[1] for p in ra_parts])
+        rd_d = jnp.concatenate([p[0] for p in rd_parts])
+        rd_i = jnp.concatenate([p[1] for p in rd_parts])
+        return qa_best, qd_best, (ra_d, ra_i), (rd_d, rd_i)
+
+    gi = q.shape[0] // _QT
+    qa_ds, qa_is, qd_ds, qd_is = [], [], [], []
+    ra_d = jnp.full((r.shape[0],), jnp.inf, jnp.float32)
+    ra_i = jnp.zeros((r.shape[0],), jnp.int32)
+    rd_d = jnp.full((r.shape[0],), jnp.inf, jnp.float32)
+    rd_i = jnp.zeros((r.shape[0],), jnp.int32)
+    for i in range(gi):
+        sl = slice(i * _QT, (i + 1) * _QT)
+        (qa_b, qd_b, (rad, rai), (rdd, rdi)) = per_query_tile(
+            (q[sl], qa[sl], qd[sl])
+        )
+        qa_ds.append(qa_b[0]); qa_is.append(qa_b[1])
+        qd_ds.append(qd_b[0]); qd_is.append(qd_b[1])
+        better = rad < ra_d
+        ra_d = jnp.where(better, rad, ra_d)
+        ra_i = jnp.where(better, rai + i * _QT, ra_i)
+        better = rdd < rd_d
+        rd_d = jnp.where(better, rdd, rd_d)
+        rd_i = jnp.where(better, rdi + i * _QT, rd_i)
+    return (
+        jnp.concatenate(qa_ds), jnp.concatenate(qd_ds),
+        ra_d, rd_d,
+        jnp.concatenate(qa_is), jnp.concatenate(qd_is),
+        ra_i, rd_i,
+    )
+
+
+def _pad_mask(mask_penalty, tile):
+    n = mask_penalty.shape[0]
+    pad = -n % tile
+    if pad:
+        mask_penalty = jnp.pad(mask_penalty, (0, pad), constant_values=_MASK_BIG)
+    return mask_penalty
+
+
+def _fused_dispatch(q3, r3, qa, qd, ra, rd, track_idx):
+    nq, nr = q3.shape[0], r3.shape[0]
+    q = _pad_coords(q3, _QT, None)
+    r = _pad_coords(r3, _RT, None)
+    qa, qd = _pad_mask(qa, _QT), _pad_mask(qd, _QT)
+    ra, rd = _pad_mask(ra, _RT), _pad_mask(rd, _RT)
+    if _on_tpu():
+        outs = _fused_pallas(q, r, qa, qd, ra, rd, track_idx)
+    else:
+        outs = _fused_xla(q, r, qa, qd, ra, rd)
+        if not track_idx:
+            outs = outs[:4]
+    dists = tuple(
+        jnp.maximum(o[:n], 0.0) for o, n in zip(outs[:4], (nq, nq, nr, nr))
+    )
+    if not track_idx:
+        return dists
+    idxs = tuple(
+        jnp.minimum(o[:n], lim - 1)
+        for o, n, lim in zip(outs[4:], (nq, nq, nr, nr), (nr, nr, nq, nq))
+    )
+    return dists + idxs
+
+
+@jax.custom_vjp
+def fused_masked_nn(q3, r3, qa, qd, ra, rd):
+    """Four masked NN sweeps over one distance computation.
+
+    Args:
+        q3 / r3: (N, 3) / (M, 3) clouds.
+        qa / qd: (N,) float additive penalties (0 = live, _MASK_BIG = masked)
+            applied to queries WHEN THEY ACT AS REFERENCES (r->q direction).
+        ra / rd: (M,) penalties on the references (q->r direction).
+
+    Returns:
+        (dq_all, dq_dyn, dr_all, dr_dyn) squared NN distances. Rows whose
+        own side is masked are garbage — exclude them in the reduction.
+        Differentiable in q3/r3 (analytic VJP at the argmin).
+    """
+    return _fused_dispatch(q3, r3, qa, qd, ra, rd, track_idx=False)
+
+
+def _fused_fwd(q3, r3, qa, qd, ra, rd):
+    outs = _fused_dispatch(q3, r3, qa, qd, ra, rd, track_idx=True)
+    dists, idxs = outs[:4], outs[4:]
+    return dists, (q3, r3) + idxs
+
+
+def _fused_bwd(residuals, g):
+    q3, r3, iqa, iqd, ira, ird = residuals
+    g_qa, g_qd, g_ra, g_rd = g
+    nq, nr = q3.shape[0], r3.shape[0]
+
+    def pair(gv, src, dst_pts, idx, num_dst):
+        """d/dsrc and scattered d/ddst of gv * |src - dst[idx]|^2."""
+        diff = 2.0 * gv[:, None] * (src - dst_pts[idx])
+        return diff, -jax.ops.segment_sum(diff, idx, num_segments=num_dst)
+
+    dq_a, dr_from_qa = pair(g_qa, q3, r3, iqa, nr)
+    dq_d, dr_from_qd = pair(g_qd, q3, r3, iqd, nr)
+    dr_a, dq_from_ra = pair(g_ra, r3, q3, ira, nq)
+    dr_d, dq_from_rd = pair(g_rd, r3, q3, ird, nq)
+    dq = dq_a + dq_d + dq_from_ra + dq_from_rd
+    dr = dr_a + dr_d + dr_from_qa + dr_from_qd
+    zq = jnp.zeros((nq,), jnp.float32)
+    zr = jnp.zeros((nr,), jnp.float32)
+    return dq, dr, zq, zq, zr, zr
+
+
+fused_masked_nn.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_chamfer_terms(
+    warped: jax.Array,
+    pc1: jax.Array,
+    valid0: jax.Array,
+    valid1: jax.Array,
+    dynamic0: jax.Array,
+    dynamic1: jax.Array,
+    max_dist: float = 2.0,
+):
+    """(truncated chamfer over all valid points, truncated chamfer over the
+    SSL-dynamic subsets) — both terms from ONE fused NN pass (the seflowpp
+    loss previously paid 4 identical distance sweeps)."""
+    to_pen = lambda m: jnp.where(m, 0.0, _MASK_BIG)  # noqa: E731
+    qa, qd = to_pen(valid0), to_pen(valid0 & dynamic0)
+    ra, rd = to_pen(valid1), to_pen(valid1 & dynamic1)
+    dq_all, dq_dyn, dr_all, dr_dyn = fused_masked_nn(
+        warped[:, :3], pc1[:, :3], qa, qd, ra, rd
+    )
+    cap = max_dist * max_dist
+
+    def masked_mean(d, valid):
+        return jnp.sum(jnp.where(valid, d, 0.0)) / jnp.maximum(
+            jnp.sum(valid.astype(d.dtype)), 1.0
+        )
+
+    chamfer = masked_mean(jnp.minimum(dq_all, cap), valid0) + masked_mean(
+        jnp.minimum(dr_all, cap), valid1
+    )
+    dyn = masked_mean(
+        jnp.minimum(dq_dyn, cap), valid0 & dynamic0
+    ) + masked_mean(jnp.minimum(dr_dyn, cap), valid1 & dynamic1)
+    return chamfer, dyn
+
+
 def nn_distance_sq_reference(query, ref, query_valid=None, ref_valid=None):
     """O(N*M) dense-matrix reference implementation (tests only)."""
     q = query[:, :3]

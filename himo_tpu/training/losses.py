@@ -28,7 +28,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from himo_tpu.ops.nn import truncated_chamfer
+from himo_tpu.ops.nn import fused_chamfer_terms
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,19 +85,13 @@ def seflowpp_loss(
     """All four SSL terms + their weighted total."""
     warped = pc0[:, :3] + flow
 
-    chamfer = truncated_chamfer(
-        warped, pc1[:, :3], valid1=valid0, valid2=valid1, max_dist=max_dist
+    # Both chamfer terms ride ONE fused NN pass (4 identical distance sweeps
+    # otherwise dominate the train step — ops/nn.py fused_masked_nn).
+    chamfer, dyn_chamfer = fused_chamfer_terms(
+        warped, pc1, valid0, valid1, dynamic0, dynamic1, max_dist=max_dist
     )
 
     static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
-
-    dyn_chamfer = truncated_chamfer(
-        warped,
-        pc1[:, :3],
-        valid1=valid0 & dynamic0,
-        valid2=valid1 & dynamic1,
-        max_dist=max_dist,
-    )
 
     cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)
 
@@ -145,9 +139,8 @@ def seflowpp_loss_sampled(
     p1_l, v1_l = pc1[loss_idx1, :3], valid1[loss_idx1]
     d1_l = dynamic1[loss_idx1]
 
-    chamfer = truncated_chamfer(w_l, p1_l, valid1=v0_l, valid2=v1_l, max_dist=max_dist)
-    dyn_chamfer = truncated_chamfer(
-        w_l, p1_l, valid1=v0_l & d0_l, valid2=v1_l & d1_l, max_dist=max_dist
+    chamfer, dyn_chamfer = fused_chamfer_terms(
+        w_l, p1_l, v0_l, v1_l, d0_l, d1_l, max_dist=max_dist
     )
     static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
     cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)

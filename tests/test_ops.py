@@ -341,3 +341,67 @@ class TestPallasKernels:
             imgs2, backs2 = jax.vmap(one)(pts, valid, feats)
         np.testing.assert_allclose(np.asarray(imgs), np.asarray(imgs2), atol=1e-5)
         np.testing.assert_allclose(np.asarray(backs), np.asarray(backs2), atol=1e-5)
+
+
+class TestFusedChamfer:
+    """fused_masked_nn == two separate truncated_chamfer calls (fwd + grad)."""
+
+    def _clouds(self, rng, n=300, m=420):
+        import jax.numpy as jnp
+
+        q = jnp.asarray(rng.normal(scale=10, size=(n, 3)), jnp.float32)
+        r = jnp.asarray(rng.normal(scale=10, size=(m, 3)), jnp.float32)
+        v0 = jnp.asarray(rng.random(n) < 0.9)
+        v1 = jnp.asarray(rng.random(m) < 0.9)
+        d0 = jnp.asarray(rng.random(n) < 0.3)
+        d1 = jnp.asarray(rng.random(m) < 0.3)
+        return q, r, v0, v1, d0, d1
+
+    def _ref_terms(self, q, r, v0, v1, d0, d1, max_dist=2.0):
+        from himo_tpu.ops.nn import truncated_chamfer
+
+        all_t = truncated_chamfer(q, r, valid1=v0, valid2=v1, max_dist=max_dist)
+        dyn_t = truncated_chamfer(
+            q, r, valid1=v0 & d0, valid2=v1 & d1, max_dist=max_dist
+        )
+        return all_t, dyn_t
+
+    def test_forward_matches_separate_calls(self, rng):
+        from himo_tpu.ops.nn import fused_chamfer_terms
+
+        q, r, v0, v1, d0, d1 = self._clouds(rng)
+        got = fused_chamfer_terms(q, r, v0, v1, d0, d1)
+        want = self._ref_terms(q, r, v0, v1, d0, d1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5)
+
+    def test_gradients_match_separate_calls(self, rng):
+        import jax
+
+        from himo_tpu.ops.nn import fused_chamfer_terms
+
+        q, r, v0, v1, d0, d1 = self._clouds(rng, n=200, m=260)
+
+        def loss_fused(q, r):
+            a, d = fused_chamfer_terms(q, r, v0, v1, d0, d1)
+            return a + 0.5 * d
+
+        def loss_sep(q, r):
+            a, d = self._ref_terms(q, r, v0, v1, d0, d1)
+            return a + 0.5 * d
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(q, r)
+        gs = jax.grad(loss_sep, argnums=(0, 1))(q, r)
+        np.testing.assert_allclose(np.asarray(gf[0]), np.asarray(gs[0]), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gs[1]), atol=1e-4)
+
+    def test_all_masked_side_is_finite(self, rng):
+        import jax
+
+        from himo_tpu.ops.nn import fused_chamfer_terms
+
+        q, r, v0, v1, _, _ = self._clouds(rng, n=130, m=140)
+        zeros_d = jnp.zeros(130, bool), jnp.zeros(140, bool)
+        a, d = fused_chamfer_terms(q, r, v0, v1, *zeros_d)
+        assert np.isfinite(float(a)) and np.isfinite(float(d))
+        g = jax.grad(lambda q: fused_chamfer_terms(q, r, v0, v1, *zeros_d)[1])(q)
+        assert np.isfinite(np.asarray(g)).all()
