@@ -47,14 +47,25 @@ def load_checkpoint(path, target: Optional[Dict[str, Any]] = None) -> Dict[str, 
 
 class CheckpointManager:
     """Top-k checkpoint retention, mirroring the reference training setup
-    (``save_top_model=3``, assets/slurm/ssl-train-av2.sh:32)."""
+    (``save_top_model=3``, assets/slurm/ssl-train-av2.sh:32).
 
-    def __init__(self, directory, keep: int = 3):
+    With ``best_metric`` set, retention is by that (lower-is-better) metric
+    from the ``metrics`` dict passed to :meth:`save` — the kept k checkpoints
+    are the best validation ones, not merely the latest."""
+
+    def __init__(self, directory, keep: int = 3, best_metric: Optional[str] = None):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
+        self.best_metric = best_metric
+        options = dict(max_to_keep=keep, create=True)
+        if best_metric is not None:
+            options.update(
+                best_fn=lambda metrics: float(metrics[best_metric]),
+                best_mode="min",
+            )
         self.manager = ocp.CheckpointManager(
             self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=keep, create=True),
+            options=ocp.CheckpointManagerOptions(**options),
         )
 
     def save(self, step: int, tree: Dict[str, Any], metrics: Optional[dict] = None):

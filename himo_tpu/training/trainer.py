@@ -53,6 +53,7 @@ class TrainConfig:
     keep_checkpoints: int = 3
     log_every: int = 10
     val_every: int = 3  # epochs (reference: val_every=3)
+    val_fraction: float = 0.1  # held-out frames when no val_dir is given
 
 
 # ----------------------------------------------------------------- batches
@@ -64,8 +65,13 @@ def build_frame_arrays(
     num_frames: int,
     loss_points: int = 0,
     rng: Optional[np.random.Generator] = None,
+    with_gt: bool = False,
 ) -> Dict:
-    """One frame -> fixed-size training arrays (host, numpy)."""
+    """One frame -> fixed-size training arrays (host, numpy).
+
+    ``with_gt=True`` additionally emits the ground-truth RESIDUAL flow
+    (``flow`` minus the pose-induced rigid flow) and its validity mask when
+    the frame carries GT — the validation loop scores EPE against it."""
 
     def fit(arr, fill=0):
         out = np.full((num_points,) + arr.shape[1:], fill, dtype=arr.dtype)
@@ -113,6 +119,18 @@ def build_frame_arrays(
 
         out["loss_idx0"] = sample(v0)
         out["loss_idx1"] = sample(v1)
+    if with_gt:
+        gt_res = np.zeros((num_points, 3), np.float32)
+        gt_valid = np.zeros(num_points, bool)
+        if "flow" in data:
+            res = data["flow"][:, :3].astype(np.float32) - pflow
+            g, ng = fit(res)
+            gt_res = g
+            gt_valid[:ng] = v0[:ng]
+            if "flow_is_valid" in data:
+                gt_valid[:ng] &= data["flow_is_valid"][:ng].astype(bool)
+        out["gt_flow"] = gt_res
+        out["gt_valid"] = gt_valid
     if num_frames >= 3:
         xyzp = data["pc_prev"][:, :3].astype(np.float32)
         # History sweep into the pc1 frame (prev -> next ego motion).
@@ -125,15 +143,31 @@ def build_frame_arrays(
     return out
 
 
+def split_train_val(num_items: int, batch_size: int, val_fraction: float):
+    """Deterministic held-out split: every k-th frame goes to val (spread
+    across scenes), sized to at least one batch when the dataset allows."""
+    if val_fraction <= 0 or num_items < 2 * batch_size:
+        return np.arange(num_items), np.array([], dtype=np.int64)
+    n_val = max(batch_size, int(round(num_items * val_fraction)))
+    n_val -= n_val % batch_size  # whole batches only
+    stride = max(num_items // n_val, 2)
+    val = np.arange(0, num_items, stride)[: n_val]
+    train = np.setdiff1d(np.arange(num_items), val)
+    return train, val
+
+
 def batch_iterator(
     dataset: SceneFlowDataset,
     config: TrainConfig,
     num_frames: int,
     rng: np.random.Generator,
     prefetch: int = 2,
+    indices: Optional[np.ndarray] = None,
+    extra_keys: tuple = (),
 ) -> Iterator[Dict]:
     """Shuffled, threaded batch producer of stacked frame arrays."""
-    order = rng.permutation(len(dataset))
+    pool = np.arange(len(dataset)) if indices is None else np.asarray(indices)
+    order = pool[rng.permutation(len(pool))] if rng is not None else pool
     n_batches = len(order) // config.batch_size
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
@@ -148,6 +182,7 @@ def batch_iterator(
                     num_frames,
                     loss_points=config.loss_points,
                     rng=rng,
+                    with_gt="gt" in extra_keys,
                 )
                 for i in idxs
             ]
@@ -168,52 +203,57 @@ def batch_iterator(
 # -------------------------------------------------------------- train step
 
 
-def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
+def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
+    """Model flow + SSL loss terms for one (already padded) frame dict."""
     num_frames = model.config.num_frames
+    sweeps = [b["pc0"], b["pc1"]]
+    valids = [b["valid0"], b["valid1"]]
+    if num_frames >= 3:
+        sweeps.append(b["pc_hist"])
+        valids.append(b["valid_hist"])
+    flow = model.apply(params, tuple(sweeps), tuple(valids))
+    common = dict(
+        num_clusters=config.num_clusters,
+        weights=config.weights,
+        max_dist=config.max_dist,
+    )
+    if "loss_idx0" in b:
+        from himo_tpu.training.losses import seflowpp_loss_sampled
 
+        losses = seflowpp_loss_sampled(
+            flow,
+            b["pc0"],
+            b["pc1"],
+            b["valid0"],
+            b["valid1"],
+            b["dynamic0"],
+            # pc1 dynamic mask unknown -> all valid pc1 are candidates
+            b["valid1"],
+            b["cluster0"],
+            b["loss_idx0"],
+            b["loss_idx1"],
+            **common,
+        )
+    else:
+        losses = seflowpp_loss(
+            flow,
+            b["pc0"],
+            b["pc1"],
+            b["valid0"],
+            b["valid1"],
+            b["dynamic0"],
+            b["valid1"],
+            b["cluster0"],
+            **common,
+        )
+    return flow, losses
+
+
+def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
     def loss_fn(params, batch):
-        def per_frame(b):
-            sweeps = [b["pc0"], b["pc1"]]
-            valids = [b["valid0"], b["valid1"]]
-            if num_frames >= 3:
-                sweeps.append(b["pc_hist"])
-                valids.append(b["valid_hist"])
-            flow = model.apply(params, tuple(sweeps), tuple(valids))
-            common = dict(
-                num_clusters=config.num_clusters,
-                weights=config.weights,
-                max_dist=config.max_dist,
-            )
-            if "loss_idx0" in b:
-                from himo_tpu.training.losses import seflowpp_loss_sampled
-
-                return seflowpp_loss_sampled(
-                    flow,
-                    b["pc0"],
-                    b["pc1"],
-                    b["valid0"],
-                    b["valid1"],
-                    b["dynamic0"],
-                    # pc1 dynamic mask unknown -> all valid pc1 are candidates
-                    b["valid1"],
-                    b["cluster0"],
-                    b["loss_idx0"],
-                    b["loss_idx1"],
-                    **common,
-                )
-            return seflowpp_loss(
-                flow,
-                b["pc0"],
-                b["pc1"],
-                b["valid0"],
-                b["valid1"],
-                b["dynamic0"],
-                b["valid1"],
-                b["cluster0"],
-                **common,
-            )
-
-        losses = jax.vmap(per_frame)(batch)
+        losses = jax.vmap(
+            lambda b: _frame_flow_and_loss(model, config, params, b)[1]
+        )(batch)
         mean = {k: jnp.mean(v) for k, v in losses.items()}
         return mean["total"], mean
 
@@ -225,6 +265,60 @@ def make_train_step(model: SceneFlowNet, config: TrainConfig, optimizer):
         return params, opt_state, metrics
 
     return train_step
+
+
+def make_val_step(model: SceneFlowNet, config: TrainConfig):
+    """Jitted validation: SSL loss sums + EPE sums vs GT residual flow.
+
+    Returns per-batch SUMS (not means) so the caller can aggregate an exact
+    mean over a val split of several batches."""
+
+    @jax.jit
+    def val_step(params, batch):
+        def per_frame(b):
+            flow, losses = _frame_flow_and_loss(model, config, params, b)
+            err = jnp.linalg.norm(flow - b["gt_flow"], axis=1)
+            gt_v = b["gt_valid"]
+            return {
+                "total": losses["total"],
+                "epe_sum": jnp.sum(jnp.where(gt_v, err, 0.0)),
+                "epe_count": jnp.sum(gt_v.astype(jnp.float32)),
+            }
+
+        out = jax.vmap(per_frame)(batch)
+        return {
+            "total_sum": jnp.sum(out["total"]),
+            "frames": jnp.asarray(float(out["total"].shape[0])),
+            "epe_sum": jnp.sum(out["epe_sum"]),
+            "epe_count": jnp.sum(out["epe_count"]),
+        }
+
+    return val_step
+
+
+def run_validation(
+    val_step, params, dataset, val_indices, config, num_frames, mesh
+) -> Dict:
+    """Mean SSL loss + EPE over the val split (fixed rng => comparable
+    across epochs)."""
+    sums = {"total_sum": 0.0, "frames": 0.0, "epe_sum": 0.0, "epe_count": 0.0}
+    for batch in batch_iterator(
+        dataset,
+        config,
+        num_frames,
+        rng=np.random.default_rng(1234),
+        indices=val_indices,
+        extra_keys=("gt",),
+    ):
+        batch = shard_batch(mesh, batch)
+        out = val_step(params, batch)
+        for k in sums:
+            sums[k] += float(out[k])
+    metrics = {
+        "val_total": sums["total_sum"] / max(sums["frames"], 1.0),
+        "val_epe": sums["epe_sum"] / max(sums["epe_count"], 1.0),
+    }
+    return metrics
 
 
 def make_optimizer(config: TrainConfig, steps_per_epoch: int):
@@ -269,7 +363,10 @@ def train(
 
     mesh = mesh or make_mesh()
     rng = np.random.default_rng(config.seed)
-    steps_per_epoch = len(dataset) // config.batch_size
+    train_idx, val_idx = split_train_val(
+        len(dataset), config.batch_size, config.val_fraction
+    )
+    steps_per_epoch = len(train_idx) // config.batch_size
     optimizer, schedule = make_optimizer(config, steps_per_epoch)
 
     from himo_tpu.models.feedforward import init_params
@@ -284,7 +381,13 @@ def train(
         wandb_mode=wandb_mode,
         config={**dataclasses.asdict(config), "mesh": str(mesh.shape)},
     )
-    ckpts = CheckpointManager(f"{run_dir}/ckpts", keep=config.keep_checkpoints)
+    has_val = len(val_idx) >= config.batch_size
+    ckpts = CheckpointManager(
+        f"{run_dir}/ckpts",
+        keep=config.keep_checkpoints,
+        best_metric="val_total" if has_val else None,
+    )
+    val_step = make_val_step(model, config) if has_val else None
 
     step = 0
     start_epoch = 0
@@ -303,9 +406,26 @@ def train(
                 f"in {run_dir}/ckpts"
             )
     last_metrics: Dict[str, float] = {}
+    val_metrics: Dict[str, float] = {}
     t0 = time.time()
+
+    def validate_and_save():
+        nonlocal val_metrics
+        tree = {"params": params, "opt_state": opt_state, "step": step}
+        if val_step is not None:
+            val_metrics = run_validation(
+                val_step, params, dataset, val_idx, config, num_frames, mesh
+            )
+            logger.log(val_metrics, step, prefix="val/")
+            logger.print(val_metrics, step, prefix="val ")
+            ckpts.save(step, tree, metrics=dict(val_metrics))
+        else:
+            ckpts.save(step, tree)
+
     for epoch in range(start_epoch, config.epochs):
-        for batch in batch_iterator(dataset, config, num_frames, rng):
+        for batch in batch_iterator(
+            dataset, config, num_frames, rng, indices=train_idx
+        ):
             batch = shard_batch(mesh, batch)
             params, opt_state, metrics = train_step(params, opt_state, batch)
             step += 1
@@ -314,14 +434,14 @@ def train(
                 last_metrics["lr"] = float(schedule(step))
                 logger.log(last_metrics, step, prefix="train/")
                 logger.print(last_metrics, step, prefix=f"epoch {epoch} ")
-        if (epoch + 1) % config.val_every == 0 or epoch == config.epochs - 1:
-            ckpts.save(step, {"params": params, "opt_state": opt_state, "step": step})
-    ckpts.save(step, {"params": params, "opt_state": opt_state, "step": step})
+        if (epoch + 1) % config.val_every == 0 and epoch != config.epochs - 1:
+            validate_and_save()
+    validate_and_save()
     ckpts.close()
     logger.close()
     return {
         "params": params,
         "steps": step,
         "seconds": time.time() - t0,
-        "final_metrics": last_metrics,
+        "final_metrics": {**last_metrics, **val_metrics},
     }

@@ -172,3 +172,70 @@ def test_trainer_resume_from_checkpoint(tmp_path):
     longer = dataclasses.replace(config, epochs=4)
     second = train(str(root), longer, run_dir=run_dir, model_overrides=overrides)
     assert second["steps"] == 4
+
+
+def test_checkpoint_retention_tracks_best_metric(tmp_path):
+    """Top-k retention keeps the BEST val-metric checkpoints, not the latest
+    (reference: save_top_model=3 with val_every=3)."""
+    import jax.numpy as jnp
+
+    from himo_tpu.training.checkpoints import CheckpointManager
+
+    mgr = CheckpointManager(tmp_path / "ck", keep=2, best_metric="val_total")
+    vals = {1: 5.0, 2: 1.0, 3: 4.0, 4: 0.5, 5: 3.0}
+    for step, v in vals.items():
+        mgr.save(
+            step,
+            {"params": {"w": jnp.full((2,), float(step))}},
+            metrics={"val_total": v},
+        )
+    kept = sorted(mgr.manager.all_steps())
+    mgr.close()
+    assert kept == [2, 4], f"expected the two best-val steps, got {kept}"
+
+
+def test_train_validation_loop_and_split(tmp_path):
+    """With enough frames, train() holds out a val split, computes val
+    SSL-loss + EPE, and retains checkpoints by val metric."""
+    import json
+
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.ops.voxelize import PillarConfig
+    from himo_tpu.training.trainer import TrainConfig, split_train_val, train
+
+    # unit: split is deterministic, disjoint, whole batches
+    tr, va = split_train_val(34, 8, 0.1)
+    assert len(va) == 8 and len(tr) == 26
+    assert set(tr).isdisjoint(va)
+
+    root = tmp_path / "av2_val"
+    make_dataset(root, num_scenes=2, num_frames=18, seed=5, num_background=500)
+    config = TrainConfig(
+        model="seflowpp",
+        batch_size=8,
+        epochs=1,
+        num_points=1024,
+        log_every=1,
+        val_every=1,
+    )
+    result = train(
+        str(root),
+        config,
+        run_dir=str(tmp_path / "run"),
+        model_overrides=dict(
+            pillar=PillarConfig(
+                x_range=(-25.6, 25.6), y_range=(-25.6, 25.6), voxel_size=(0.8, 0.8)
+            ),
+            depths=(16, 32),
+            point_feat_dim=8,
+            base_channels=8,
+        ),
+    )
+    fm = result["final_metrics"]
+    assert np.isfinite(fm["val_total"]) and np.isfinite(fm["val_epe"])
+    assert fm["val_epe"] > 0.0  # untrained model cannot have 0 error
+    lines = [
+        json.loads(line)
+        for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("val/val_epe" in ln for ln in lines)
