@@ -1,11 +1,19 @@
 """Headline benchmark: compensated points/sec through the full TPU pipeline.
 
-Runs the flagship path on synthetic multi-LiDAR sweeps on whatever device is
-default (the driver runs it on one real TPU chip): SeFlow++-class pillar-UNet
-flow inference + fused per-point de-skew, batched frames, everything jitted.
+Runs the flagship path on realistic synthetic multi-LiDAR sweeps on whatever
+device is default (the driver runs it on one real TPU chip): SeFlow++-class
+pillar-UNet flow inference + fused per-point de-skew, batched frames,
+everything jitted.
+
+The headline config is REFERENCE PARITY: a 512x512 pseudo-image at 0.2 m
+voxels over [-51.2, 51.2] m (the reference training recipe,
+assets/slurm/ssl-train-av2.sh:32), on clouds with LiDAR-like radial density
+and ~92% valid points. A secondary number reports the 256x256 @ 0.4 m
+throughput-optimal config.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "Mpts/s", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "Mpts/s", "vs_baseline": N,
+     "secondary_256": N}
 
 ``vs_baseline`` compares against the north-star target of 20 M points/sec on
 a v5e-8 (BASELINE.json) prorated to one chip: 2.5 M points/sec/chip.
@@ -19,20 +27,51 @@ import time
 import numpy as np
 
 PER_CHIP_TARGET = 20e6 / 8  # north-star prorated to a single chip
+BATCH = 8
+NUM_POINTS = 65536
+VALID_FRACTION = 0.92
 
 
-def main() -> dict:
+def lidar_like_cloud(rng, batch: int, n: int) -> np.ndarray:
+    """LiDAR-ish occupancy: radial density falloff, ground band + structure,
+    a few dense object clusters — matches real pillar-duplicate statistics
+    far better than uniform noise."""
+    out = np.empty((batch, n, 3), np.float32)
+    for b in range(batch):
+        n_ground = int(n * 0.45)
+        n_struct = int(n * 0.45)
+        n_obj = n - n_ground - n_struct
+        # Ground: radius ~ sqrt-uniform (denser near the sensor), low z.
+        r = 50.0 * np.sqrt(rng.uniform(0.004, 1.0, n_ground))
+        a = rng.uniform(0, 2 * np.pi, n_ground)
+        ground = np.stack(
+            [r * np.cos(a), r * np.sin(a), rng.normal(-1.6, 0.05, n_ground)], 1
+        )
+        # Structure: annulus walls/vegetation with vertical extent.
+        r = 50.0 * np.sqrt(rng.uniform(0.01, 1.0, n_struct))
+        a = rng.uniform(0, 2 * np.pi, n_struct)
+        struct = np.stack(
+            [r * np.cos(a), r * np.sin(a), rng.uniform(-1.5, 2.5, n_struct)], 1
+        )
+        # Objects: 16 dense clusters (cars/trucks).
+        centers = rng.uniform(-45, 45, size=(16, 3))
+        centers[:, 2] = rng.uniform(-1.0, 0.5, 16)
+        idx = rng.integers(0, 16, n_obj)
+        obj = centers[idx] + rng.normal(0, [1.8, 0.9, 0.6], (n_obj, 3))
+        out[b] = np.concatenate([ground, struct, obj]).astype(np.float32)
+    return out
+
+
+def measure(pillar_voxel: float, model_cache: dict) -> float:
     import jax
     import jax.numpy as jnp
 
     from himo_tpu.models.feedforward import init_params, make_model
     from himo_tpu.ops.voxelize import PillarConfig
 
-    batch = 8
-    num_points = 65536
-    pillar = PillarConfig(voxel_size=(0.4, 0.4))  # 256x256 pseudo-image
+    pillar = PillarConfig(voxel_size=(pillar_voxel, pillar_voxel))
     model, config = make_model("seflowpp", pillar=pillar, dtype="bfloat16")
-    params = init_params(model, jax.random.PRNGKey(0), num_points=num_points)
+    params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
 
     def frame(params, pc0, pc1, pc_hist, valid, dt0):
         flow = model.apply(params, (pc0, pc1, pc_hist), (valid, valid, valid))
@@ -55,18 +94,31 @@ def main() -> dict:
         return jnp.sum(out[:, 0, 0])  # scalar readback forces completion
 
     rng = np.random.default_rng(0)
-    cloud = lambda: jnp.asarray(  # noqa: E731
-        rng.uniform(-50, 50, size=(batch, num_points, 3)), jnp.float32
-    )
+    cloud = lambda: jnp.asarray(lidar_like_cloud(rng, BATCH, NUM_POINTS))  # noqa: E731
     pc0, pc1, pc_hist = cloud(), cloud(), cloud()
-    valid = jnp.ones((batch, num_points), bool)
-    dt0 = jnp.asarray(rng.uniform(0, 0.1, size=(batch, num_points)), jnp.float32)
+    n_valid = int(NUM_POINTS * VALID_FRACTION)
+    valid = jnp.asarray(np.arange(NUM_POINTS) < n_valid)[None, :].repeat(BATCH, 0)
+    dt0 = jnp.asarray(rng.uniform(0, 0.1, size=(BATCH, NUM_POINTS)), jnp.float32)
 
     # Warmup / compile (np.asarray forces real completion through tunnels
     # whose block_until_ready acks early).
     np.asarray(step_chain(params, pc0, pc1, pc_hist, valid, dt0))
 
-    # Estimate dispatch round-trip to subtract it.
+    rtt = model_cache["rtt"]
+    times = []
+    for _ in range(5):
+        start = time.perf_counter()
+        np.asarray(step_chain(params, pc0, pc1, pc_hist, valid, dt0))
+        times.append(time.perf_counter() - start)
+    elapsed = max(float(np.median(times)) - rtt, 1e-9) / CHAIN
+    return BATCH * n_valid / elapsed
+
+
+def main() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    # Estimate dispatch round-trip once to subtract it.
     @jax.jit
     def tiny(x):
         return x + 1.0
@@ -77,21 +129,16 @@ def main() -> dict:
         t = time.perf_counter()
         np.asarray(tiny(jnp.ones(())))
         rtts.append(time.perf_counter() - t)
-    rtt = float(np.median(rtts))
+    cache = {"rtt": float(np.median(rtts))}
 
-    times = []
-    for _ in range(5):
-        start = time.perf_counter()
-        np.asarray(step_chain(params, pc0, pc1, pc_hist, valid, dt0))
-        times.append(time.perf_counter() - start)
-    elapsed = max(float(np.median(times)) - rtt, 1e-9) / CHAIN
-
-    pts_per_sec = batch * num_points / elapsed
+    headline = measure(0.2, cache)  # 512x512 reference-parity grid
+    secondary = measure(0.4, cache)  # 256x256 throughput config
     result = {
-        "metric": "seflowpp_inference_deskew_points_per_sec_per_chip",
-        "value": round(pts_per_sec / 1e6, 3),
+        "metric": "seflowpp_inference_deskew_points_per_sec_per_chip_512grid",
+        "value": round(headline / 1e6, 3),
         "unit": "Mpts/s",
-        "vs_baseline": round(pts_per_sec / PER_CHIP_TARGET, 3),
+        "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
+        "secondary_256": round(secondary / 1e6, 3),
     }
     print(json.dumps(result))
     return result

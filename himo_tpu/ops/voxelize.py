@@ -33,11 +33,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 _SCATTER_CHUNK = 2048
 _NEG = -3.0e38
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
-# Banded kernels keep one image band resident while streaming point chunks;
-# bands are double-buffered by the pipeline, so budget half of the resident
-# case (leaves room for the out/feat chunk blocks too).
-_BAND_BUDGET_BYTES = 5 * 1024 * 1024
+# v5e VMEM is 128 MiB physical (measured: window allocations are checked
+# against 134217728 bytes) and every VMEM window is lane-padded to 128
+# floats — a (rows, 33) f32 window costs rows * 512 bytes, NOT rows * 132.
+# Budgets below are in PADDED bytes via _window_bytes. The default 16 MiB
+# scoped-stack limit is separate; kernels raise it with vmem_limit_bytes.
+_VMEM_PHYSICAL_BYTES = 128 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 110 * 1024 * 1024  # per-kernel scoped limit we request
+_VMEM_BUDGET_BYTES = 72 * 1024 * 1024  # resident image window budget
+_BAND_BUDGET_BYTES = 48 * 1024 * 1024  # one band window (leaves table room)
+
+
+def _window_bytes(rows: int, channels: int, itemsize: int = 4) -> int:
+    """VMEM cost of a (rows, channels) window: (8, 128)-tile padded."""
+    lanes = -(-channels // 128) * 128
+    return (-(-rows // 8) * 8) * lanes * itemsize
 
 
 def _interpret() -> bool:
@@ -48,7 +58,7 @@ def _interpret() -> bool:
 
 
 def _pallas_fits(num_rows: int, channels: int, itemsize: int = 4) -> bool:
-    return (num_rows + 8) * channels * itemsize <= _VMEM_BUDGET_BYTES
+    return _window_bytes(num_rows + 8, channels, itemsize) <= _VMEM_BUDGET_BYTES
 
 
 def _scatter_kernel(combine):
@@ -107,6 +117,9 @@ def _scatter_rows_fn(num_rows: int, combine: str, interpret: bool = False):
                 out_specs=pl.BlockSpec(
                     (num_rows + 8, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
                 ),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
             ),
             interpret=interpret,
         )(pids, feats)
@@ -177,8 +190,10 @@ def _diff_scatter_fn(num_rows: int, combine: str, interpret: bool = False):
 
 
 def _band_partition(num_rows: int, channels: int) -> Tuple[int, int, int]:
-    """(bands, band_rows, total_rows): band_rows*channels*4 <= band budget."""
-    limit = max(_BAND_BUDGET_BYTES // (channels * 4), 8)
+    """(bands, band_rows, total_rows): one band's PADDED window fits the
+    band budget (512^2 C<=128 => 2 bands of ~64 MB)."""
+    lanes = -(-channels // 128) * 128
+    limit = max(_BAND_BUDGET_BYTES // (lanes * 4), 8)
     bands = -(-(num_rows + 8) // limit)
     band_rows = -(-(num_rows + 8) // (bands * 8)) * 8
     return bands, band_rows, bands * band_rows
@@ -266,6 +281,9 @@ def _sorted_scatter_call(num_rows: int, channels: int, combine: str, interpret: 
                     (band_rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
                 ),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            ),
             interpret=interpret,
         )(meta, pids, feats)
 
@@ -303,10 +321,135 @@ def _sort_rows_by_key(keys, rows):
     return jnp.take(keys, order), jnp.take(rows, order, axis=0)
 
 
+# Feats tables up to this size (PADDED window bytes) stay fully
+# VMEM-resident in the table-variant scatter (no row takes at all — the
+# kernel reads rows via the argsort order from SMEM). Table + one band must
+# leave scratch headroom under the 128 MiB physical VMEM.
+_TABLE_BUDGET_BYTES = 40 * 1024 * 1024
+
+
+def _sorted_scatter_table_band_kernel(combine: str):
+    """One band, feats table resident: for sorted position i in [s, e),
+    the point's feat row sits at order[i] in the UNSORTED table and its
+    pillar at pids[order[i]] — two SMEM loads replace two XLA row takes."""
+
+    def kernel(meta_ref, pids_ref, order_ref, feat_ref, o_ref):
+        o_ref[:, :] = jnp.full_like(o_ref, _NEG if combine == "max" else 0.0)
+        lo = meta_ref[2]
+
+        def body(i, _):
+            j = order_ref[i]
+            local = pids_ref[j] - lo
+            row = feat_ref[pl.ds(j, 1), :]
+            cur = o_ref[pl.ds(local, 1), :]
+            if combine == "max":
+                o_ref[pl.ds(local, 1), :] = jnp.maximum(cur, row)
+            else:
+                o_ref[pl.ds(local, 1), :] = cur + row
+            return 0
+
+        jax.lax.fori_loop(meta_ref[0], meta_ref[1], body, 0)
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _sorted_scatter_table_call(
+    num_rows: int, channels: int, combine: str, interpret: bool
+):
+    bands, band_rows, total_rows = _band_partition(num_rows, channels)
+
+    def band_call(meta, pids, order, feats):
+        n, c = feats.shape
+        return pl.pallas_call(
+            _sorted_scatter_table_band_kernel(combine),
+            out_shape=jax.ShapeDtypeStruct((band_rows, c), feats.dtype),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(
+                        (n, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (band_rows, c), lambda i, *_: (0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            ),
+            interpret=interpret,
+        )(meta, pids, order, feats)
+
+    @jax.custom_batching.custom_vmap
+    def scatter(starts, pids, order, feats):
+        los = jnp.arange(bands, dtype=jnp.int32) * band_rows
+        metas = jnp.stack([starts[:-1], starts[1:], los], axis=1)
+
+        def one(meta):
+            return jax.lax.optimization_barrier(band_call(meta, pids, order, feats))
+
+        out = jax.lax.map(one, metas)  # (bands, band_rows, c)
+        # Second barrier: without it XLA may place the stacked band buffer
+        # itself in scoped VMEM at the consumer (33+ MB at 512^2) — measured
+        # inside the model's vmap(batch) x map(bands) nesting.
+        out = jax.lax.optimization_barrier(out)
+        return out.reshape(total_rows, -1)[: num_rows + 8]
+
+    @scatter.def_vmap
+    def _vmap_rule(axis_size, in_batched, *args):
+        if not all(in_batched):
+            raise NotImplementedError("table scatter expects batched args")
+        out = jax.lax.map(lambda a: scatter(*a), tuple(args))
+        return out, True
+
+    return scatter
+
+
+def _count_band_starts(pids, n_total: int, bands: int, band_rows: int):
+    """starts WITHOUT sorting: starts[b] = #pids < b*band_rows (+ the padded
+    tail, which sorts above every real pid)."""
+    bounds = jnp.arange(1, bands, dtype=pids.dtype) * band_rows
+    inner = jnp.sum(pids[None, :] < bounds[:, None], axis=1).astype(jnp.int32)
+    return jnp.concatenate(
+        [
+            jnp.zeros((1,), jnp.int32),
+            inner,
+            jnp.full((1,), n_total, jnp.int32),
+        ]
+    )
+
+
 def _sorted_scatter_forward(pids, feats, *, num_rows, combine, interpret):
-    """Non-differentiable sorted scatter: sort rows, band, run the kernel."""
-    channels = feats.shape[1]
+    """Non-differentiable sorted scatter beyond the VMEM budget.
+
+    Two variants:
+    - table: feats stay UNSORTED and fully VMEM-resident; the kernel chases
+      ``order`` from SMEM (zero row takes). Used when the table fits.
+    - streamed: argsort + row takes reorder (pids, feats), point chunks
+      stream through VMEM. Used for wide tables (e.g. C=64 gradients).
+    """
+    n, channels = feats.shape
     bands, band_rows, _ = _band_partition(num_rows, channels)
+    n_pad = n + (-n % _SCATTER_CHUNK)
+    if _window_bytes(n_pad, channels) <= _TABLE_BUDGET_BYTES:
+        order = jnp.argsort(pids).astype(jnp.int32)
+        if n_pad > n:
+            # Padding: extra order slots point at a zero feat row routed to
+            # the trash band (pid = num_rows).
+            pids = jnp.concatenate(
+                [pids, jnp.full((n_pad - n,), num_rows, pids.dtype)]
+            )
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((n_pad - n, channels), feats.dtype)]
+            )
+            order = jnp.concatenate(
+                [order, jnp.arange(n, n_pad, dtype=jnp.int32)]
+            )
+        starts = _count_band_starts(pids[:n], n_pad, bands, band_rows)
+        call = _sorted_scatter_table_call(num_rows, channels, combine, interpret)
+        return call(starts, pids, order, feats)
     ps, fs = _sort_rows_by_key(pids, feats)
     ps, fs = _pad_sorted(ps, num_rows, fs)
     starts = _band_starts(ps, bands, band_rows)
@@ -398,6 +541,9 @@ def _gather_rows_fn(interpret: bool = False):
                     (_SCATTER_CHUNK, c), lambda i, *_: (i, 0), memory_space=pltpu.VMEM
                 ),
             ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
+            ),
             interpret=interpret,
         )(pids, image)
 
@@ -484,6 +630,9 @@ def _sorted_gather_call(num_rows: int, channels: int, interpret: bool):
                     lambda i, *_: (i, 0),
                     memory_space=pltpu.VMEM,
                 ),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT_BYTES
             ),
             interpret=interpret,
         )(meta, pids, band_img)

@@ -242,11 +242,18 @@ class TestPallasKernels:
             jax.ops.segment_sum(feats, pids, num_segments=num_rows)
         )
 
+    @pytest.mark.parametrize("variant", ["table", "streamed"])
     @pytest.mark.parametrize("combine", ["max", "sum"])
     @pytest.mark.parametrize("num_rows", [1000, 7003])  # resident | banded
-    def test_scatter_matches_segment_ops(self, rng, combine, num_rows):
+    def test_scatter_matches_segment_ops(
+        self, rng, combine, num_rows, variant, monkeypatch
+    ):
         from himo_tpu.ops import voxelize as V
 
+        if variant == "streamed":
+            # Force the argsort+take streamed kernel (real gate: wide feats
+            # tables, e.g. C=64 gather gradients).
+            monkeypatch.setattr(V, "_TABLE_BUDGET_BYTES", 0)
         n, c = 900, 5
         pids = jnp.asarray(rng.integers(0, num_rows + 1, size=(n,)), jnp.int32)
         feats = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
