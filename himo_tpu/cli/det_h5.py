@@ -2,9 +2,12 @@
 
 Surface of the reference's OpenPCDet ``tools/h5sf.py`` experiment
 (downstream/README.md:13-18): run detection over raw vs de-skewed clouds and
-compare quality.
+compare quality. ``detector=learned`` trains and runs the center-point
+DetNet (the TransFusion-class learned role); the default geometric detector
+needs no training.
 
     python -m himo_tpu.cli.det_h5 data_dir=... flow_modes='["raw","seflowpp"]'
+    python -m himo_tpu.cli.det_h5 data_dir=... detector=learned epochs=8
 """
 
 from __future__ import annotations
@@ -18,15 +21,42 @@ def main(
     flow_modes=("raw", "flow"),
     iou_threshold: float = 0.3,
     dynamic_only: bool = True,
+    detector: str = "geometric",  # or 'learned' (center-point DetNet)
+    train_dir: str = "",  # learned: training dataset (defaults to data_dir)
+    epochs: int = 8,
+    num_points: int = 32768,
+    voxel: float = 0.4,
 ):
     if isinstance(flow_modes, str):
         flow_modes = [flow_modes]
-    config = DetectionConfig(iou_threshold=iou_threshold)
     results = {}
-    for mode in flow_modes:
-        results[mode] = evaluate_detection(
-            data_dir, flow_mode=mode, config=config, dynamic_only=dynamic_only
+    if detector == "learned":
+        from himo_tpu.downstream.det_net import (
+            evaluate_detection_learned,
+            make_det_model,
+            train_detector,
         )
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        model, _ = make_det_model(
+            pillar=PillarConfig(voxel_size=(voxel, voxel))
+        )
+        params = train_detector(
+            train_dir or data_dir, model=model, num_points=num_points,
+            epochs=epochs,
+        )
+        for mode in flow_modes:
+            results[mode] = evaluate_detection_learned(
+                data_dir, model, params, flow_mode=mode,
+                num_points=num_points, iou_threshold=iou_threshold,
+                dynamic_only=dynamic_only,
+            )
+    else:
+        config = DetectionConfig(iou_threshold=iou_threshold)
+        for mode in flow_modes:
+            results[mode] = evaluate_detection(
+                data_dir, flow_mode=mode, config=config, dynamic_only=dynamic_only
+            )
     print("\nmode        P      R      F1     meanIoU")
     for mode, r in results.items():
         print(
