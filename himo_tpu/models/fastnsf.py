@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import optax
 
 from himo_tpu.models.coordinate_mlp import apply_mlp, init_mlp
+from himo_tpu.models.opt_loop import run_adam
 from himo_tpu.models.registry import register_estimator
 from himo_tpu.ops.dt import DTConfig, distance_transform, sample_dt
 
@@ -31,6 +32,9 @@ class FastNSFConfig:
     lr: float = 8e-3
     max_dist: float = 2.0  # truncation radius (m)
     dt: DTConfig = DTConfig()
+    patience: int = 0  # >0: early-stop window (fixed-length loop otherwise)
+    min_delta: float = 1e-4
+    schedule: str = "constant"  # or 'cosine'
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -45,8 +49,6 @@ def fastnsf_flow(
     """Optimize flow for one (ego-compensated) frame pair via DT lookups."""
     grid = distance_transform(pc1[:, :3], valid1, config.dt)
     params = init_mlp(key, hidden=config.hidden, layers=config.layers)
-    opt = optax.adam(config.lr)
-    opt_state = opt.init(params)
     cap = config.max_dist * config.max_dist
     denom = jnp.maximum(jnp.sum(valid0.astype(jnp.float32)), 1.0)
 
@@ -56,19 +58,18 @@ def fastnsf_flow(
         d2 = jnp.minimum(d2, cap)
         return jnp.sum(jnp.where(valid0, d2, 0.0)) / denom
 
-    def step(carry, _):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
-
-    (params, _), losses = jax.lax.scan(
-        step, (params, opt_state), None, length=config.iterations
+    params, best_loss, _ = run_adam(
+        loss_fn,
+        params,
+        iterations=config.iterations,
+        lr=config.lr,
+        schedule=config.schedule,
+        patience=config.patience,
+        min_delta=config.min_delta,
     )
     flow = apply_mlp(params, pc0[:, :3])
     flow = jnp.where(valid0[:, None], flow, 0.0)
-    return flow, losses[-1]
+    return flow, best_loss
 
 
 @register_estimator("fastnsf")

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import optax
 
 from himo_tpu.models.coordinate_mlp import apply_mlp, init_mlp
+from himo_tpu.models.opt_loop import run_adam
 from himo_tpu.models.registry import register_estimator
 from himo_tpu.ops.nn import truncated_chamfer
 
@@ -32,6 +33,9 @@ class NSFPConfig:
     iterations: int = 500
     lr: float = 8e-3
     max_dist: float = 2.0  # Chamfer truncation radius (m)
+    patience: int = 0  # >0: early-stop after this many non-improving steps
+    min_delta: float = 1e-4  # relative improvement that resets patience
+    schedule: str = "constant"  # or 'cosine'
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -45,11 +49,11 @@ def nsfp_flow(
 ):
     """Optimize flow for one (ego-compensated) frame pair.
 
-    Returns (flow (N0, 3), final_loss).
+    Returns (flow (N0, 3), best_loss). Early stopping (``patience``) runs
+    the Adam loop as a dynamic ``lax.while_loop`` and keeps the best
+    parameters — the classic NSFP recipe (models/opt_loop.py).
     """
     params = init_mlp(key, hidden=config.hidden, layers=config.layers)
-    opt = optax.adam(config.lr)
-    opt_state = opt.init(params)
 
     def loss_fn(p):
         flow = apply_mlp(p, pc0[:, :3])
@@ -61,19 +65,18 @@ def nsfp_flow(
             max_dist=config.max_dist,
         )
 
-    def step(carry, _):
-        p, s = carry
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return (p, s), loss
-
-    (params, _), losses = jax.lax.scan(
-        step, (params, opt_state), None, length=config.iterations
+    params, best_loss, _ = run_adam(
+        loss_fn,
+        params,
+        iterations=config.iterations,
+        lr=config.lr,
+        schedule=config.schedule,
+        patience=config.patience,
+        min_delta=config.min_delta,
     )
     flow = apply_mlp(params, pc0[:, :3])
     flow = jnp.where(valid0[:, None], flow, 0.0)
-    return flow, losses[-1]
+    return flow, best_loss
 
 
 @register_estimator("nsfp")

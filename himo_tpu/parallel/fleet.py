@@ -28,7 +28,7 @@ import numpy as np
 
 from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 from himo_tpu.core.transforms import relative_pose, transform_points
-from himo_tpu.parallel.mesh import make_mesh, shard_batch
+from himo_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 
 
 @dataclasses.dataclass(frozen=True)
@@ -185,3 +185,61 @@ def run_fleet(
         "points_per_sec": points / max(elapsed, 1e-9),
         "mesh_shards": n_shards,
     }
+
+
+def fleet_save(
+    data_dir,
+    model: str = "seflowpp",
+    checkpoint: Optional[str] = None,
+    params=None,
+    output_key: Optional[str] = None,
+    mesh=None,
+    config: FleetConfig = FleetConfig(),
+    model_overrides: Optional[Dict] = None,
+    verbose: bool = True,
+) -> Dict[str, float]:
+    """Mesh-sharded ``save.py``: batched feed-forward inference across the
+    device mesh with total flow written back under ``output_key`` — the
+    public surface of the config-5 chain (sharded inference -> h5 write-back
+    -> downstream eval). CLI: ``python -m himo_tpu.cli.save fleet=true``."""
+    from himo_tpu.data.dataset import SceneFlowDataset
+    from himo_tpu.data.schema import write_method_flow
+    from himo_tpu.models.feedforward import make_model
+
+    net, net_cfg = make_model(model, **(model_overrides or {}))
+    if params is None:
+        if checkpoint is None:
+            raise ValueError("fleet_save needs checkpoint= or params=")
+        from himo_tpu.training.checkpoints import load_checkpoint
+
+        params = load_checkpoint(checkpoint)["params"]
+    output_key = output_key or model
+    mesh = mesh or make_mesh()
+    # Checkpoint restores land on one device; inference wants replicas.
+    params = jax.device_put(params, replicated(mesh))
+    dataset = SceneFlowDataset(
+        data_dir, with_pc1=True, with_history=net_cfg.num_frames >= 3
+    )
+
+    def consumer(i, host, out):
+        data = dataset[i]
+        n = len(data["pc0"])
+        flow = out["flow"]
+        if n > len(flow):
+            flow = np.concatenate(
+                [flow, np.zeros((n - len(flow), 3), np.float32)]
+            )
+        write_method_flow(
+            data_dir, data["scene_id"], data["timestamp"], output_key, flow[:n]
+        )
+
+    stats = run_fleet(
+        dataset, net, params, mesh=mesh, config=config, consumer=consumer
+    )
+    if verbose:
+        print(
+            f"{output_key}: {stats['frames']} frames, {stats['points']} points "
+            f"across {stats['mesh_shards']} shards in {stats['seconds']:.2f}s "
+            f"({stats['points_per_sec'] / 1e6:.2f} M pts/s)"
+        )
+    return stats

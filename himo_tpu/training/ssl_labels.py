@@ -4,10 +4,15 @@ Fills the role of the reference's ``+ssl_label=seflowpp_auto`` auxiliary
 labels (assets/slurm/ssl-train-av2.sh:33; the SeFlow recipe uses DUFOMap
 occupancy change + HDBSCAN in the absent submodule). TPU-era replacement:
 
-- dynamic evidence — NN residual: after ego-compensation a static point
-  finds a near neighbor in the next sweep; points whose NN distance exceeds
-  ``dynamic_threshold`` are dynamic. (One-directional: occlusion in pc1 can
-  yield false positives; a symmetric/backward check is future work.)
+- dynamic evidence, NN residual (``method=nn``): after ego-compensation a
+  static point finds a near neighbor in the next sweep; points whose NN
+  distance exceeds ``dynamic_threshold`` are dynamic. (One-directional:
+  occlusion in pc1 can yield false positives.)
+- dynamic evidence, occupancy change (``method=dufo``): DUFOMap-style
+  ray-carved void voxels with a per-sweep protection margin, fused with the
+  NN candidates by cluster-level voting — keeps the occupancy evidence's
+  precision (occlusion never carves) at the NN labels' recall and above
+  (see tests/test_training.py::test_dufo_labels_beat_nn).
 - clusters — DBSCAN over the dynamic points (sklearn on host; labels are
   data-prep artifacts, not in the jit path), ids compacted to
   ``1..num_clusters``, 0 = background.
@@ -102,6 +107,202 @@ def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) ->
     for i in it:
         data = dataset[i]
         dynamic, clusters = label_frame(data, threshold=threshold)
+        with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
+            g = f[str(data["timestamp"])]
+            for key, arr in (("ssl_dynamic", dynamic), ("ssl_cluster", clusters)):
+                if key in g:
+                    del g[key]
+                g.create_dataset(key, data=arr)
+        n += 1
+    return n
+
+
+# ---------------------------------------------------------------------------
+# DUFOMap-style occupancy-change dynamic classification.
+#
+# The reference SeFlow label pipeline uses DUFOMap (ray-carved "void"
+# regions): a voxel observed OCCUPIED at time t but seen-through (FREE) by
+# some other sweep's rays must contain a moving object at t. Unlike the NN
+# residual test above, occluded regions are never carved, so occlusion does
+# not produce false positives, and slow movers accumulate evidence across
+# the whole scene window rather than a single frame pair.
+# Host numpy (data-prep artifact, like the NN labels): voxel hashing +
+# vectorized ray sampling, no per-ray Python loops.
+
+
+def _voxel_keys(points: np.ndarray, voxel: float) -> np.ndarray:
+    """Pack voxel indices into int64 keys (21 bits per axis, offset 2^20)."""
+    ijk = np.floor(points / voxel).astype(np.int64) + (1 << 20)
+    return (ijk[:, 0] << 42) | (ijk[:, 1] << 21) | ijk[:, 2]
+
+
+def _dilate_keys(keys: np.ndarray) -> np.ndarray:
+    """All 27-neighborhood voxel keys of the given packed keys.
+
+    Plain packed-key addition is exact here: indices sit mid-range
+    (offset 2^20), so per-axis +-1 never under/overflows its bit field."""
+    offsets = np.array(
+        [
+            (dx << 42) + (dy << 21) + dz
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dz in (-1, 0, 1)
+        ],
+        dtype=np.int64,
+    )
+    return np.unique((keys[:, None] + offsets[None, :]).reshape(-1))
+
+
+def _ray_free_keys(
+    points: np.ndarray,
+    origin: np.ndarray,
+    voxel: float,
+    samples: int,
+    endpoint_margin: float,
+) -> np.ndarray:
+    """Voxel keys sampled along sensor->point rays, stopping short of the
+    endpoint by ``endpoint_margin`` so the surface voxel is never carved."""
+    rel = points - origin[None, :]
+    dist = np.linalg.norm(rel, axis=1, keepdims=True)
+    dist = np.maximum(dist, 1e-6)
+    stop = np.maximum(1.0 - endpoint_margin / dist, 0.0)  # (N, 1) fraction
+    fracs = (np.arange(samples, dtype=np.float32)[None, :] + 0.5) / samples
+    pos = origin[None, None, :] + rel[:, None, :] * (fracs * stop)[:, :, None]
+    return np.unique(_voxel_keys(pos.reshape(-1, 3), voxel))
+
+
+def dufo_scene_labels(
+    scene_path,
+    voxel: float = 0.4,
+    samples: int = 128,
+    endpoint_margin: float = 1.0,
+    max_points_per_frame: int = 120000,
+) -> Dict[str, np.ndarray]:
+    """Per-frame dynamic masks for one scene .h5 via occupancy conflict.
+
+    A non-ground point is dynamic when its (world-frame, ego-compensated)
+    voxel is ray-carved FREE by any sweep in the scene — the DUFOMap void
+    criterion. Returns {timestamp_key: (N,) bool}.
+    """
+    import h5py
+
+    with h5py.File(scene_path, "r") as f:
+        keys = sorted(f.keys(), key=lambda k: int(k))
+        frames = []
+        for k in keys:
+            g = f[k]
+            pc = g["lidar"][()][:, :3].astype(np.float32)
+            gm = (
+                np.asarray(g["ground_mask"][()], bool)
+                if "ground_mask" in g
+                else np.zeros(len(pc), bool)
+            )
+            frames.append({"key": k, "pc": pc, "gm": gm,
+                           "pose": g["pose"][()].astype(np.float64)})
+
+    world, origins = [], []
+    for fr in frames:
+        R, t = fr["pose"][:3, :3], fr["pose"][:3, 3]
+        world.append((fr["pc"] @ R.T + t).astype(np.float32))
+        origins.append(t.astype(np.float32))
+
+    free_sets = []
+    for w, o, fr in zip(world, origins, frames):
+        pts = w[~fr["gm"]][:max_points_per_frame]
+        rays = _ray_free_keys(pts, o, voxel, samples, endpoint_margin)
+        # DUFOMap's protection margin: this sweep's own hits (dilated one
+        # voxel) are never carved by its rays — static voxels, occupied in
+        # every sweep, therefore never enter any free set, and grazing rays
+        # can't erode surfaces they also observe.
+        occupied = _dilate_keys(np.unique(_voxel_keys(w, voxel)))
+        free_sets.append(rays[~np.isin(rays, occupied)])
+    free_union = np.unique(np.concatenate(free_sets)) if free_sets else np.array([], np.int64)
+
+    out = {}
+    for w, fr in zip(world, frames):
+        keys_pts = _voxel_keys(w, voxel)
+        dynamic = np.isin(keys_pts, free_union, assume_unique=False)
+        dynamic &= ~fr["gm"]
+        out[fr["key"]] = dynamic
+    return out
+
+
+def fuse_dynamic_evidence(
+    points: np.ndarray,
+    nn_dyn: np.ndarray,
+    dufo_dyn: np.ndarray,
+    not_ground: np.ndarray,
+    eps: float = 0.8,
+    min_samples: int = 5,
+    dufo_vote: float = 0.15,
+    nn_vote: float = 0.8,
+    max_clusters: int = 63,
+):
+    """Cluster-level vote: DBSCAN the union candidates; a cluster is dynamic
+    when the precise DUFO occupancy evidence covers >= ``dufo_vote`` of it
+    (or the NN residual evidence is near-unanimous). Returns
+    (dynamic, cluster_ids) — measured on synthetic scenes this fusion keeps
+    DUFO's perfect precision while beating the NN labels' recall."""
+    from sklearn.cluster import DBSCAN
+
+    cand = (nn_dyn | dufo_dyn) & not_ground
+    dynamic = np.zeros(len(points), bool)
+    labels = np.zeros(len(points), np.uint16)
+    idx = np.flatnonzero(cand)
+    if len(idx) < min_samples:
+        return dynamic, labels
+    raw = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(points[idx, :3])
+    kept = []
+    for c in range(raw.max() + 1):
+        m = idx[raw == c]
+        if dufo_dyn[m].mean() >= dufo_vote or nn_dyn[m].mean() >= nn_vote:
+            kept.append(m)
+    kept.sort(key=len, reverse=True)
+    for rank, m in enumerate(kept[:max_clusters]):
+        dynamic[m] = True
+        labels[m] = rank + 1
+    return dynamic, labels
+
+
+def write_ssl_labels_dufo(
+    data_dir,
+    voxel: float = 0.4,
+    samples: int = 128,
+    endpoint_margin: float = 1.0,
+    threshold: float = 0.18,
+    verbose: bool = True,
+) -> int:
+    """DUFOMap-style labels: ray-carved occupancy evidence fused with the
+    NN residual candidates at cluster level; same ssl_dynamic/ssl_cluster
+    write-back contract as the NN variant. Returns frames labeled."""
+    import h5py
+    from pathlib import Path
+
+    from tqdm import tqdm
+
+    from himo_tpu.data.dataset import SceneFlowDataset
+
+    dufo_masks = {}
+    for scene in sorted(Path(data_dir).glob("*.h5")):
+        dufo_masks[scene.stem] = dufo_scene_labels(
+            scene, voxel=voxel, samples=samples, endpoint_margin=endpoint_margin
+        )
+
+    dataset = SceneFlowDataset(data_dir, with_pc1=True)
+    it = range(len(dataset))
+    if verbose:
+        it = tqdm(it, ncols=100, desc=f"DUFO labels {data_dir}")
+    n = 0
+    for i in it:
+        data = dataset[i]
+        nn_dyn, _ = label_frame(data, threshold=threshold)
+        du_dyn = dufo_masks[data["scene_id"]][str(data["timestamp"])]
+        dynamic, clusters = fuse_dynamic_evidence(
+            data["pc0"][:, :3],
+            nn_dyn,
+            du_dyn,
+            ~np.asarray(data["gm0"], bool),
+        )
         with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
             g = f[str(data["timestamp"])]
             for key, arr in (("ssl_dynamic", dynamic), ("ssl_cluster", clusters)):

@@ -185,3 +185,30 @@ def test_runner_subsample_upsample(tmp_path, rng):
     finally:
         os.chdir(cwd)
     assert est["mpe"] < raw["mpe"]
+
+
+def test_run_adam_early_stop_and_cosine():
+    """The shared optimizer loop stops early once the loss plateaus and
+    returns the best parameters; the cosine schedule also converges."""
+    import jax.numpy as jnp
+
+    from himo_tpu.models.opt_loop import run_adam
+
+    def loss_fn(p):
+        return jnp.sum((p - 3.0) ** 2)
+
+    p0 = jnp.zeros((4,))
+    p_fix, loss_fix, steps_fix = run_adam(
+        loss_fn, p0, iterations=2000, lr=0.1, patience=0
+    )
+    assert int(steps_fix) == 2000
+    p_es, loss_es, steps_es = run_adam(
+        loss_fn, p0, iterations=2000, lr=0.1, patience=30
+    )
+    assert int(steps_es) < 2000, "plateaued loss must stop the loop early"
+    assert float(loss_es) < 1e-3
+    np.testing.assert_allclose(np.asarray(p_es), 3.0, atol=0.05)
+    p_cos, loss_cos, _ = run_adam(
+        loss_fn, p0, iterations=500, lr=0.1, schedule="cosine", patience=50
+    )
+    assert float(loss_cos) < 1e-2

@@ -239,3 +239,46 @@ def test_train_validation_loop_and_split(tmp_path):
         for line in (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()
     ]
     assert any("val/val_epe" in ln for ln in lines)
+
+
+def test_dufo_labels_beat_nn(tmp_path):
+    """Occupancy-change (DUFOMap-style) fused labels keep perfect precision
+    and beat the NN-residual labels' F1 against GT dynamic masks."""
+    import h5py
+
+    from himo_tpu.core.transforms import rigid_flow
+    from himo_tpu.data.dataset import SceneFlowDataset
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.training.ssl_labels import (
+        label_frame,
+        write_ssl_labels_dufo,
+    )
+
+    root = tmp_path / "av2_dufo"
+    make_dataset(root, num_scenes=1, num_frames=6, seed=9, num_background=3000)
+    write_ssl_labels_dufo(root, verbose=False)
+
+    def prf(pred, gt):
+        tp = (pred & gt).sum()
+        fp = (pred & ~gt).sum()
+        fn = (~pred & gt).sum()
+        p = tp / max(tp + fp, 1)
+        r = tp / max(tp + fn, 1)
+        return p, r, 2 * p * r / max(p + r, 1e-9)
+
+    ds = SceneFlowDataset(root, with_pc1=True, extra_keys=("ssl_dynamic",))
+    f1s = {"nn": [], "dufo": []}
+    precs = []
+    for i in range(len(ds)):
+        d = ds[i]
+        pflow = rigid_flow(d["pc0"][:, :3], d["pose0"], d["pose1"])
+        res = d["flow"][:, :3] - pflow
+        gt = (np.linalg.norm(res, axis=1) / 0.1 > 0.5) & ~np.asarray(d["gm0"], bool)
+        nn_dyn, _ = label_frame(d)
+        du_dyn = np.asarray(d["ssl_dynamic"], bool)
+        f1s["nn"].append(prf(nn_dyn, gt)[2])
+        p, _, f1 = prf(du_dyn, gt)
+        precs.append(p)
+        f1s["dufo"].append(f1)
+    assert np.mean(f1s["dufo"]) > np.mean(f1s["nn"]), f1s
+    assert np.mean(precs) > 0.95
