@@ -246,3 +246,77 @@ def make_dataset(
 
     save_index(eval_entries, output_dir, INDEX_EVAL)
     return output_dir
+
+
+def make_benchmark_dataset(
+    output_dir,
+    num_scenes: int = 18,
+    num_frames: int = 4,
+    seed: int = 0,
+    objects_per_scene: int = 6,
+    points_per_object: int = 400,
+    num_background: int = 16000,
+    **scene_kwargs,
+) -> Path:
+    """Bucket-complete validation suite for quality-parity evidence.
+
+    Objects systematically cover every (metacategory, velocity bucket,
+    distance bucket) cell of the reference eval table — CAR and
+    OTHER_VEHICLES at ~6/15/25/34 m/s starting ~6/15/25/34 m out, with
+    mixed tangential/radial headings so the distance buckets also fill from
+    motion. Default 18 scenes x (num_frames - 1) eval frames = 54 frames.
+    """
+    cat_specs = {
+        "REGULAR_VEHICLE": np.array([4.5, 2.0, 1.6]),
+        "TRUCK": np.array([9.0, 2.6, 3.2]),
+    }
+    speeds = (6.0, 15.0, 25.0, 34.0)
+    dists = (6.0, 15.0, 25.0, 34.0)
+    combos = [
+        (c, v, d) for c in cat_specs for v in speeds for d in dists
+    ]  # 32 cells
+    output_dir = Path(output_dir)
+    slot = 0
+    for si in range(num_scenes):
+        rng = np.random.default_rng(seed + 1000 + si)
+        objects = []
+        for _ in range(objects_per_scene):
+            cname, speed, dist = combos[slot % len(combos)]
+            slot += 1
+            ang = rng.uniform(0, 2 * np.pi)
+            center = np.array(
+                [dist * np.cos(ang), dist * np.sin(ang), 1.0]
+            )
+            # Heading: tangential +- up to 45 deg of radial drift.
+            head = ang + np.pi / 2 + rng.uniform(-np.pi / 4, np.pi / 4)
+            velocity = speed * np.array([np.cos(head), np.sin(head), 0.0])
+            objects.append(
+                BoxObject(
+                    center=center,
+                    velocity=velocity,
+                    size=cat_specs[cname].copy(),
+                    category=cname,
+                    points_per_frame=points_per_object,
+                )
+            )
+        make_scene(
+            output_dir,
+            scene_id=f"scene_{si:03d}",
+            num_frames=num_frames,
+            seed=seed + si,
+            objects=objects,
+            num_background=num_background,
+            ego_speed=5.0,
+            **scene_kwargs,
+        )
+    total = create_reading_index(output_dir, save=True)
+    last_by_scene = {}
+    for scene_id, ts in total:
+        last_by_scene[scene_id] = ts
+    eval_entries = [
+        [scene_id, ts] for scene_id, ts in total if ts != last_by_scene[scene_id]
+    ]
+    from himo_tpu.data.index import save_index, INDEX_EVAL
+
+    save_index(eval_entries, output_dir, INDEX_EVAL)
+    return output_dir

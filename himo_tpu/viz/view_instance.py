@@ -93,12 +93,29 @@ def vis_refine_ins(
     out_dir: str = "logs/instances",
     num_frames: int = 1,
     extent: float = 6.0,
+    interactive: bool = False,
+    view_file: str = "",
 ):
-    """Render raw-vs-refined instance panels (PNG) or open3d if available."""
+    """Render raw-vs-refined instance panels (PNG) or open3d if available.
+
+    ``interactive=True`` (or importable open3d + ``interactive=None``) opens
+    the MyVisualizer window instead (viz/o3d_view.py): SPACE play/pause,
+    saved-viewpoint JSON — the reference tools/view_instance.py surface.
+    """
     from himo_tpu.viz.render import render_instance_panel, save_image
 
     if isinstance(ins_id, int):
         ins_id = [ins_id]
+    if interactive:
+        from himo_tpu.viz.o3d_view import view_dataset
+
+        return view_dataset(
+            data_dir,
+            flow_mode=flow_mode,
+            start_id=start_id,
+            view_file=view_file or None,
+            instance_ids=list(ins_id) if ins_id else None,
+        )
     dataset = SceneFlowDataset(data_dir, vis_name=flow_mode if flow_mode != "raw" else "")
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -1,0 +1,120 @@
+"""Quality-parity evidence at scale: cross-method table on the bucket-
+complete synthetic validation suite.
+
+Reproduces (synthetically) the reference's README quality table protocol
+(/root/reference/README.md:95: CDE/MPE on a labeled val split) across every
+estimator family, plus the scene-flow-challenge EPE/Acc numbers:
+
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/quality_evidence.py \
+        [--root /tmp/av2_quality] [--skip-train]
+
+Outputs: res-av2.json + res-flow-av2.json entries per method and a markdown
+table on stdout (pasted into PARITY.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+METHODS_OPT = ("nsfp", "fastnsf10", "icpflow")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/av2_quality")
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-opt", action="store_true")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--num-points", type=int, default=20480)
+    ap.add_argument("--max-est-points", type=int, default=8192)
+    args = ap.parse_args()
+    root = Path(args.root)
+
+    from himo_tpu.data.synthetic import make_benchmark_dataset
+
+    if not root.exists():
+        print(f"[1/5] building benchmark dataset at {root}")
+        make_benchmark_dataset(root)
+    else:
+        print(f"[1/5] reusing dataset at {root}")
+
+    from himo_tpu.training.ssl_labels import write_ssl_labels_dufo
+
+    t0 = time.time()
+    methods = []
+    if not args.skip_train:
+        print("[2/5] DUFO SSL labels + SeFlow++ SSL training")
+        write_ssl_labels_dufo(root, verbose=True)
+        from himo_tpu.training.trainer import TrainConfig, train
+
+        config = TrainConfig(
+            model="seflowpp",
+            batch_size=8,
+            epochs=args.epochs,
+            num_points=args.num_points,
+            loss_points=8192,
+            log_every=10,
+            val_every=3,
+        )
+        result = train(str(root), config, run_dir=str(root / "runs/seflowpp"))
+        params = result["params"]
+        print(f"  trained in {time.time() - t0:.0f}s; writing flow (fleet)")
+        from himo_tpu.parallel.fleet import FleetConfig, fleet_save
+
+        fleet_save(
+            str(root),
+            model="seflowpp",
+            params=params,
+            output_key="seflowpp",
+            config=FleetConfig(num_points=args.num_points),
+        )
+        methods.append("seflowpp")
+
+    if not args.skip_opt:
+        from himo_tpu.models.runner import estimate_scene_flow
+
+        for m in METHODS_OPT:
+            print(f"[3/5] optimization method {m}")
+            t1 = time.time()
+            estimate_scene_flow(
+                str(root), model=m, max_estimation_points=args.max_est_points
+            )
+            print(f"  {m}: {time.time() - t1:.0f}s")
+            methods.append(m)
+
+    print("[4/5] HiMo CDE/MPE eval")
+    from himo_tpu.cli.eval import main as eval_main
+
+    all_methods = ["raw"] + methods
+    for m in all_methods:
+        eval_main(data_dir=str(root), res_name=m)
+
+    print("[5/5] EPE/Acc flow metrics")
+    from himo_tpu.cli.eval_flow import main as eval_flow_main
+
+    flow_res = eval_flow_main(data_dir=str(root), res_names=all_methods)
+
+    himo_res = json.loads(Path("res-av2.json").read_text())["av2"]
+    print("\n| Method | CDE ↓ | MPE ↓ | EPE 3-way ↓ | EPE FD ↓ | AccS ↑ | AccR ↑ |")
+    print("|---|---|---|---|---|---|---|")
+    for m in all_methods:
+        he = himo_res.get(m, {})
+        cde = mpe = float("nan")
+        if he:
+            cats = [he[c]["overall"] for c in ("CAR", "OTHER_VEHICLES") if c in he]
+            pts = sum(c["num_pts"] for c in cats)
+            cde = sum(c["cd"] * c["num_pts"] for c in cats) / max(pts, 1)
+            mpe = sum(c["mpe"] * c["num_pts"] for c in cats) / max(pts, 1)
+        fe = flow_res.get(m, {})
+        print(
+            f"| {m} | {cde:.3f} | {mpe:.3f} | {fe.get('EPE_3way', float('nan')):.4f} "
+            f"| {fe.get('EPE_FD', float('nan')):.4f} | {fe.get('AccS', float('nan')):.3f} "
+            f"| {fe.get('AccR', float('nan')):.3f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()

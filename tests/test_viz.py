@@ -79,3 +79,102 @@ def test_visualize_cli(tmp_path, synthetic_dataset):
         resolution=240,
     )
     assert len(saved) == 2
+
+
+class TestO3DViewer:
+    """MyVisualizer logic against a mock open3d (the real package is an
+    optional dependency, absent in CI)."""
+
+    class _FakeViewControl:
+        def __init__(self):
+            self.calls = []
+
+        def set_front(self, v): self.calls.append(("front", v))
+        def set_lookat(self, v): self.calls.append(("lookat", v))
+        def set_up(self, v): self.calls.append(("up", v))
+        def set_zoom(self, v): self.calls.append(("zoom", v))
+        def convert_to_pinhole_camera_parameters(self): return {"cam": 1}
+        def convert_from_pinhole_camera_parameters(self, p, allow_arbitrary=True):
+            self.calls.append(("pinhole", p))
+
+    class _FakeVis:
+        def __init__(self):
+            self.keys = {}
+            self.geoms = []
+            self.polls = 0
+            self.ctl = TestO3DViewer._FakeViewControl()
+
+        def create_window(self, window_name=""): self.title = window_name
+        def register_key_callback(self, key, cb): self.keys[key] = cb
+        def clear_geometries(self): self.geoms = []
+        def add_geometry(self, g, reset_bounding_box=True): self.geoms.append(g)
+        def poll_events(self): self.polls += 1; return True
+        def update_renderer(self): pass
+        def get_view_control(self): return self.ctl
+        def get_render_option(self): return self
+        def destroy_window(self): pass
+
+    def _fake_o3d(self):
+        import types
+
+        fake = types.SimpleNamespace()
+        vis_mod = types.SimpleNamespace(VisualizerWithKeyCallback=TestO3DViewer._FakeVis)
+        written = {}
+        io_mod = types.SimpleNamespace(
+            write_pinhole_camera_parameters=lambda path, p: written.update({path: p}),
+            read_pinhole_camera_parameters=lambda path: {"cam": "fromfile"},
+        )
+        fake.visualization = vis_mod
+        fake.io = io_mod
+        fake._written = written
+        return fake
+
+    def test_space_toggles_and_step(self, tmp_path):
+        from himo_tpu.viz.o3d_view import MyVisualizer, _KEY_N, _KEY_SPACE
+
+        v = MyVisualizer(o3d=self._fake_o3d())
+        assert not v.playing
+        v.vis.keys[_KEY_SPACE](v.vis)
+        assert v.playing  # SPACE starts playback
+        assert v.update(["pcd"], wait=True)  # returns immediately while playing
+        v.vis.keys[_KEY_SPACE](v.vis)
+        assert not v.playing
+        v.vis.keys[_KEY_N](v.vis)  # queue a single-step
+        assert v.update(["pcd"], wait=True)
+        assert v.vis.geoms == ["pcd"]
+
+    def test_viewpoint_roundtrip_simple_json(self, tmp_path):
+        import json
+
+        from himo_tpu.viz.o3d_view import MyVisualizer
+
+        view = tmp_path / "view.json"
+        view.write_text(json.dumps({"front": [0, 0, 1], "zoom": 0.5}))
+        v = MyVisualizer(view_file=str(view), o3d=self._fake_o3d())
+        v.playing = True
+        v.update(["pcd"])
+        calls = dict(v.vis.ctl.calls)
+        assert calls["front"] == [0, 0, 1]
+        assert calls["zoom"] == 0.5
+
+    def test_viewpoint_pinhole_json_and_save(self, tmp_path):
+        import json
+
+        from himo_tpu.viz.o3d_view import MyVisualizer, _KEY_V
+
+        view = tmp_path / "cam.json"
+        view.write_text(json.dumps({"intrinsic": {}, "extrinsic": []}))
+        fake = self._fake_o3d()
+        v = MyVisualizer(view_file=str(view), o3d=fake)
+        v.playing = True
+        v.update(["pcd"])
+        assert ("pinhole", {"cam": "fromfile"}) in v.vis.ctl.calls
+        v.vis.keys[_KEY_V](v.vis)  # save current view to the json
+        assert str(view) in fake._written
+
+    def test_close_key_ends_updates(self):
+        from himo_tpu.viz.o3d_view import MyVisualizer, _KEY_ESC
+
+        v = MyVisualizer(o3d=self._fake_o3d())
+        v.vis.keys[_KEY_ESC](v.vis)
+        assert v.update(["pcd"]) is False
