@@ -165,12 +165,13 @@ def _diff_scatter_fn(num_rows: int, combine: str, interpret: bool = False):
 
     def bwd(residuals, g):
         pids, feats, out = residuals
-        g_at = jnp.take(g, pids, axis=0)
         if combine == "max":
-            winner = feats == jnp.take(out, pids, axis=0)
-            dfeat = jnp.where(winner, g_at, 0.0)
+            c = feats.shape[1]
+            both = jnp.take(jnp.concatenate([g, out], axis=1), pids, axis=0)
+            winner = feats == both[:, c:]
+            dfeat = jnp.where(winner, both[:, :c], 0.0)
         else:
-            dfeat = g_at
+            dfeat = jnp.take(g, pids, axis=0)
         return _float0_like(pids), dfeat
 
     core.defvjp(fwd, bwd)
@@ -473,12 +474,16 @@ def _diff_scatter_sorted_fn(num_rows: int, combine: str, interpret: bool = False
 
     def bwd(residuals, g):
         pids, feats, out = residuals
-        g_at = jnp.take(g, pids, axis=0)
         if combine == "max":
-            winner = feats == jnp.take(out, pids, axis=0)
-            dfeat = jnp.where(winner, g_at, 0.0)
+            # One fused row-take instead of two: XLA row gathers are
+            # per-row latency-bound, so width is nearly free while a second
+            # take doubles the cost.
+            c = feats.shape[1]
+            both = jnp.take(jnp.concatenate([g, out], axis=1), pids, axis=0)
+            winner = feats == both[:, c:]
+            dfeat = jnp.where(winner, both[:, :c], 0.0)
         else:
-            dfeat = g_at
+            dfeat = jnp.take(g, pids, axis=0)
         return _float0_like(pids), dfeat
 
     core.defvjp(fwd, bwd)
