@@ -304,7 +304,7 @@ def _nn_core_bwd(residuals, g):
     q3, r3, idx = residuals
     diff = q3 - r3[idx]
     dq = 2.0 * g[:, None] * diff
-    dr = -jax.ops.segment_sum(dq, idx, num_segments=r3.shape[0])
+    dr = -segment_rows_sum(dq, idx, r3.shape[0])
     return dq, dr
 
 
@@ -678,28 +678,77 @@ def _fused_fwd(q3, r3, qa, qd, ra, rd):
     return dists, (q3, r3) + idxs
 
 
+def segment_rows_sum(vals, idx, num_segments: int):
+    """Sum (N, C) rows into segments: the Pallas resident sum-scatter on
+    TPU (~7 ns/row vs XLA's ~70 ns unsorted scatter), XLA segment_sum
+    elsewhere. Non-differentiable (used inside custom backward passes)."""
+    from himo_tpu.ops.voxelize import (
+        _interpret,
+        _pad_for_scatter,
+        _pallas_fits,
+        _scatter_rows_fn,
+    )
+
+    if (_on_tpu() or _interpret()) and _pallas_fits(num_segments, vals.shape[1]):
+        pids, vals = _pad_for_scatter(idx, vals, num_segments)
+        out = _scatter_rows_fn(num_segments, "sum", _interpret())(pids, vals)
+        return out[:num_segments]
+    return jax.ops.segment_sum(vals, idx, num_segments=num_segments)
+
+
 def _fused_bwd(residuals, g):
     q3, r3, iqa, iqd, ira, ird = residuals
     g_qa, g_qd, g_ra, g_rd = g
     nq, nr = q3.shape[0], r3.shape[0]
 
-    def pair(gv, src, dst_pts, idx, num_dst):
-        """d/dsrc and scattered d/ddst of gv * |src - dst[idx]|^2."""
-        diff = 2.0 * gv[:, None] * (src - dst_pts[idx])
-        return diff, -jax.ops.segment_sum(diff, idx, num_segments=num_dst)
+    def diffs(gv, src, dst_pts, idx):
+        return 2.0 * gv[:, None] * (src - dst_pts[idx])
 
-    dq_a, dr_from_qa = pair(g_qa, q3, r3, iqa, nr)
-    dq_d, dr_from_qd = pair(g_qd, q3, r3, iqd, nr)
-    dr_a, dq_from_ra = pair(g_ra, r3, q3, ira, nq)
-    dr_d, dq_from_rd = pair(g_rd, r3, q3, ird, nq)
-    dq = dq_a + dq_d + dq_from_ra + dq_from_rd
-    dr = dr_a + dr_d + dr_from_qa + dr_from_qd
+    dq_a = diffs(g_qa, q3, r3, iqa)
+    dq_d = diffs(g_qd, q3, r3, iqd)
+    dr_a = diffs(g_ra, r3, q3, ira)
+    dr_d = diffs(g_rd, r3, q3, ird)
+    # One fused scatter per destination (instead of four segment_sums):
+    # concatenated sources, shared segment table.
+    dr_scatter = segment_rows_sum(
+        jnp.concatenate([dq_a, dq_d]), jnp.concatenate([iqa, iqd]), nr
+    )
+    dq_scatter = segment_rows_sum(
+        jnp.concatenate([dr_a, dr_d]), jnp.concatenate([ira, ird]), nq
+    )
+    dq = dq_a + dq_d - dq_scatter
+    dr = dr_a + dr_d - dr_scatter
     zq = jnp.zeros((nq,), jnp.float32)
     zr = jnp.zeros((nr,), jnp.float32)
     return dq, dr, zq, zq, zr, zr
 
 
 fused_masked_nn.defvjp(_fused_fwd, _fused_bwd)
+
+
+@jax.custom_vjp
+def take_rows(x, idx):
+    """Differentiable row take whose transpose runs through the Pallas
+    resident sum-scatter instead of XLA's unsorted scatter (~10x on TPU).
+    Use for loss-side subsampling of flow-dependent arrays."""
+    return jnp.take(x, idx, axis=0)
+
+
+def _take_rows_fwd(x, idx):
+    return jnp.take(x, idx, axis=0), (idx, x.shape[0])
+
+
+def _take_rows_bwd(residuals, g):
+    idx, n = residuals
+    import numpy as onp
+
+    return (
+        segment_rows_sum(g, idx, n),
+        onp.zeros(onp.shape(idx), dtype=jax.dtypes.float0),
+    )
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 def fused_chamfer_terms(

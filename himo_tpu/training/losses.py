@@ -133,8 +133,12 @@ def seflowpp_loss_sampled(
     by (N/K)^2 while the cheap elementwise/segment terms (static flow,
     cluster rigidity) stay exact over the full cloud.
     """
+    from himo_tpu.ops.nn import take_rows
+
     warped = pc0[:, :3] + flow
-    w_l, v0_l = warped[loss_idx0], valid0[loss_idx0]
+    # take_rows: the sample-take's transpose is a scatter-add back into the
+    # full cloud — routed through the Pallas resident kernel on TPU.
+    w_l, v0_l = take_rows(warped, loss_idx0), valid0[loss_idx0]
     d0_l = dynamic0[loss_idx0]
     p1_l, v1_l = pc1[loss_idx1, :3], valid1[loss_idx1]
     d1_l = dynamic1[loss_idx1]
