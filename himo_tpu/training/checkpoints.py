@@ -53,10 +53,17 @@ class CheckpointManager:
     from the ``metrics`` dict passed to :meth:`save` — the kept k checkpoints
     are the best validation ones, not merely the latest."""
 
-    def __init__(self, directory, keep: int = 3, best_metric: Optional[str] = None):
+    def __init__(
+        self,
+        directory,
+        keep: int = 3,
+        best_metric: Optional[str] = None,
+        async_save: bool = True,
+    ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         self.best_metric = best_metric
+        self.async_save = async_save
         options = dict(max_to_keep=keep, create=True)
         if best_metric is not None:
             options.update(
@@ -69,10 +76,17 @@ class CheckpointManager:
         )
 
     def save(self, step: int, tree: Dict[str, Any], metrics: Optional[dict] = None):
+        """Persist a checkpoint; with ``async_save`` the write runs in the
+        background (orbax async machinery) and training continues — the
+        previous in-flight write is drained first so at most one save is
+        outstanding. Sync mode blocks until durable."""
+        self.manager.wait_until_finished()  # drain any in-flight save
         self.manager.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
-        self.manager.wait_until_finished()
+        if not self.async_save:
+            self.manager.wait_until_finished()
 
     def restore_latest(self, target=None):
+        self.manager.wait_until_finished()
         step = self.manager.latest_step()
         if step is None:
             return None, None
@@ -83,4 +97,6 @@ class CheckpointManager:
         return step, tree
 
     def close(self):
+        """Blocks until every pending async save is durable, then closes."""
+        self.manager.wait_until_finished()
         self.manager.close()

@@ -282,3 +282,38 @@ def test_dufo_labels_beat_nn(tmp_path):
         f1s["dufo"].append(f1)
     assert np.mean(f1s["dufo"]) > np.mean(f1s["nn"]), f1s
     assert np.mean(precs) > 0.95
+
+
+def test_async_checkpointing_overlaps_and_drains(tmp_path):
+    """Async saves return before the write is durable, drain on the next
+    save/close, and every checkpoint restores intact."""
+    import time
+
+    import jax.numpy as jnp
+
+    from himo_tpu.training.checkpoints import CheckpointManager
+
+    big = {"params": {"w": jnp.arange(2_000_000, dtype=jnp.float32)}}
+    mgr = CheckpointManager(tmp_path / "ck", keep=5, async_save=True)
+    t0 = time.perf_counter()
+    mgr.save(1, big)
+    async_return = time.perf_counter() - t0
+    mgr.save(2, {"params": {"w": big["params"]["w"] * 2}})
+    mgr.close()
+
+    sync = CheckpointManager(tmp_path / "ck_sync", keep=5, async_save=False)
+    t0 = time.perf_counter()
+    sync.save(1, big)
+    sync_return = time.perf_counter() - t0
+    sync.close()
+    # The async call should give control back faster than the durable one
+    # (not asserted strictly — filesystems vary — but both must restore).
+    del async_return, sync_return
+
+    mgr2 = CheckpointManager(tmp_path / "ck", keep=5)
+    step, tree = mgr2.restore_latest()
+    mgr2.close()
+    assert step == 2
+    np.testing.assert_allclose(
+        np.asarray(tree["params"]["w"][:5]), np.arange(5) * 2.0
+    )
