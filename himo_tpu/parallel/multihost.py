@@ -33,9 +33,13 @@ def initialize(
 ) -> None:
     """Initialize jax.distributed; no-op when already initialized or
     single-process (TPU pods auto-discover via the runtime when args are
-    omitted)."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    omitted).
+
+    MUST run before anything touches the XLA backend — including
+    ``jax.process_count()``/``jax.devices()`` — so the already-initialized
+    check uses ``jax.distributed.is_initialized`` (backend-free)."""
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
