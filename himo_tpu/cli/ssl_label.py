@@ -20,7 +20,7 @@ def main(
     voxel: float = 0.4,
 ):
     if method == "dufo":
-        n = write_ssl_labels_dufo(dataset_path, voxel=voxel)
+        n = write_ssl_labels_dufo(dataset_path, voxel=voxel, threshold=threshold)
     else:
         n = write_ssl_labels(dataset_path, threshold=threshold)
     print(f"Labeled {n} frames in {dataset_path} ({method})")

@@ -1,9 +1,11 @@
 """Scene-flow bucketed metrics: EPE three-way + AccS/AccR.
 
-The reference repo's local eval (eval.py) scores the HiMo CDE/MPE instance
-metrics; the standard scene-flow numbers (EPE, AccS, AccR, three-way split)
-live in its absent OpenSceneFlow submodule (the AV2 scene-flow-challenge
-definitions). This module provides them TPU-era:
+The reference repo's local eval (/root/reference/eval.py:30-36) scores the
+HiMo CDE/MPE instance metrics; the standard scene-flow numbers (EPE, AccS,
+AccR, three-way split) live in its absent OpenSceneFlow submodule (the AV2
+scene-flow-challenge definitions; the reference consumes them through
+``model=seflowpp`` training logs, /root/reference/README.md:50-53). This
+module provides them TPU-era:
 
 - three-way split per point: Foreground Dynamic / Foreground Static /
   Background Static (foreground = labeled category, dynamic = GT motion
@@ -66,11 +68,15 @@ class FlowMetrics:
 
     def summary(self) -> Dict[str, float]:
         out = {}
+        present = []
         for c in self.CLASSES:
             out[f"EPE_{c}"] = self._err_sum[c] / max(self._count[c], 1)
-        out["EPE_3way"] = float(
-            np.mean([out[f"EPE_{c}"] for c in self.CLASSES])
-        )
+            if self._count[c]:
+                present.append(out[f"EPE_{c}"])
+        # Classes with no points are EXCLUDED from the three-way mean —
+        # averaging in a silent 0.0 would deflate the headline (e.g. no
+        # static foreground exists on the synthetic benchmark).
+        out["EPE_3way"] = float(np.mean(present)) if present else 0.0
         fd = max(self._count["FD"], 1)
         out["AccS"] = self._accs / fd
         out["AccR"] = self._accr / fd

@@ -16,7 +16,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from himo_tpu.models.coordinate_mlp import apply_mlp, init_mlp
 from himo_tpu.models.opt_loop import run_adam

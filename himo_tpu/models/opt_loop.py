@@ -1,5 +1,7 @@
 """Shared on-device Adam loop for the runtime-optimization estimators
-(NSFP / FastNSF — the reference's per-frame optimization models).
+(NSFP / FastNSF — the ``model=nsfp`` / ``model=fastnsf`` surfaces of
+/root/reference/README.md:52, whose per-frame optimizers live in the absent
+OpenSceneFlow submodule; early stopping is the original NSFP recipe).
 
 Two modes:
 - fixed-length ``lax.scan`` (deterministic step count);
@@ -62,14 +64,17 @@ def run_adam(
 
     def body(state):
         p, s, best_p, best_l, since, it = state
-        p, s, loss = step(p, s)
+        # ``loss`` is evaluated at the PRE-update params p — that is the
+        # candidate for "best", not the post-update p_new (whose loss is
+        # unknown until the next iteration).
+        p_new, s, loss = step(p, s)
         improved = loss < best_l * (1.0 - min_delta)
         best_p = jax.tree.map(
-            lambda new, old: jnp.where(improved, new, old), p, best_p
+            lambda cand, old: jnp.where(improved, cand, old), p, best_p
         )
         best_l = jnp.where(improved, loss, best_l)
         since = jnp.where(improved, 0, since + 1)
-        return (p, s, best_p, best_l, since, it + 1)
+        return (p_new, s, best_p, best_l, since, it + 1)
 
     init = (
         params,

@@ -68,6 +68,7 @@ def frame_to_arrays(data: Dict, num_points: int, with_history: bool) -> Dict:
         "pose_flow": _pad(pflow.astype(np.float32), num_points)[0],
         "dt0": _pad(dt0, num_points)[0],
         "num_real": n0,
+        "num_total": len(xyz0),  # original cloud size (may exceed the budget)
     }
     if with_history:
         xyzp = data["pc_prev"][:, :3].astype(np.float32)
@@ -157,7 +158,7 @@ def run_fleet(
         stacked = {
             k: np.stack([f[k] for _, f in item])
             for k in item[0][1]
-            if k != "num_real"
+            if k not in ("num_real", "num_total")
         }
         outputs = step(params, shard_batch(mesh, stacked))
         if consumer is not None:
@@ -220,22 +221,33 @@ def fleet_save(
     dataset = SceneFlowDataset(
         data_dir, with_pc1=True, with_history=net_cfg.num_frames >= 3
     )
+    # (scene_id, timestamp) per frame, matching run_fleet's iteration order.
+    index = (
+        dataset.eval_index
+        if dataset.eval_index is not None
+        else dataset.data_index
+    )
+
+    # Buffer flows and write AFTER the run: the producer thread prefetch-
+    # reads the same scene .h5 files, and a concurrent h5py append handle
+    # races HDF5 file locking. Flow fields are small (N x 3 f32 per frame).
+    pending = {}
 
     def consumer(i, host, out):
-        data = dataset[i]
-        n = len(data["pc0"])
         flow = out["flow"]
+        n = int(host["num_total"])
         if n > len(flow):
             flow = np.concatenate(
                 [flow, np.zeros((n - len(flow), 3), np.float32)]
             )
-        write_method_flow(
-            data_dir, data["scene_id"], data["timestamp"], output_key, flow[:n]
-        )
+        pending[i] = flow[:n]
 
     stats = run_fleet(
         dataset, net, params, mesh=mesh, config=config, consumer=consumer
     )
+    for i, flow in sorted(pending.items()):
+        scene_id, timestamp = index[i]
+        write_method_flow(data_dir, scene_id, timestamp, output_key, flow)
     if verbose:
         print(
             f"{output_key}: {stats['frames']} frames, {stats['points']} points "

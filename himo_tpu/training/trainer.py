@@ -387,13 +387,21 @@ def train(
         keep=config.keep_checkpoints,
         best_metric="val_total" if has_val else None,
     )
+    # Best-metric retention prunes non-best steps, so the resume point lives
+    # in a separate recency-kept manager — otherwise a crash after epoch N
+    # could resume from whichever OLD step happened to have the best val.
+    ckpts_latest = (
+        CheckpointManager(f"{run_dir}/ckpts_latest", keep=1) if has_val else ckpts
+    )
     val_step = make_val_step(model, config) if has_val else None
 
     step = 0
     start_epoch = 0
     if resume:
         target = {"params": params, "opt_state": opt_state, "step": 0}
-        latest_step, tree = ckpts.restore_latest(target=target)
+        latest_step, tree = ckpts_latest.restore_latest(target=target)
+        if tree is None and ckpts_latest is not ckpts:
+            latest_step, tree = ckpts.restore_latest(target=target)
         if tree is not None:
             params = jax.device_put(tree["params"], replicated(mesh))
             opt_state = tree["opt_state"]
@@ -419,6 +427,7 @@ def train(
             logger.log(val_metrics, step, prefix="val/")
             logger.print(val_metrics, step, prefix="val ")
             ckpts.save(step, tree, metrics=dict(val_metrics))
+            ckpts_latest.save(step, tree)
         else:
             ckpts.save(step, tree)
 
@@ -438,6 +447,8 @@ def train(
             validate_and_save()
     validate_and_save()
     ckpts.close()
+    if ckpts_latest is not ckpts:
+        ckpts_latest.close()
     logger.close()
     return {
         "params": params,

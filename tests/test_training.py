@@ -317,3 +317,31 @@ def test_async_checkpointing_overlaps_and_drains(tmp_path):
     np.testing.assert_allclose(
         np.asarray(tree["params"]["w"][:5]), np.arange(5) * 2.0
     )
+
+
+def test_resume_uses_latest_not_best(tmp_path):
+    """With best-metric retention pruning recent steps, resume still picks
+    up from the most recent save (the ckpts_latest manager)."""
+    import jax.numpy as jnp
+
+    from himo_tpu.training.checkpoints import CheckpointManager
+
+    run = tmp_path / "run"
+    best = CheckpointManager(run / "ckpts", keep=1, best_metric="val_total")
+    latest = CheckpointManager(run / "ckpts_latest", keep=1)
+    # step 100 has the BEST val; step 200 is newest but worse.
+    for step, v in ((100, 0.1), (200, 5.0)):
+        tree = {"params": {"w": jnp.full((2,), float(step))}, "step": step}
+        best.save(step, tree, metrics={"val_total": v})
+        latest.save(step, tree)
+    best.close()
+    latest.close()
+    # best-k retention kept only step 100...
+    b = CheckpointManager(run / "ckpts", keep=1, best_metric="val_total")
+    assert b.manager.all_steps() == [100]
+    b.close()
+    # ...but the resume manager returns the true latest.
+    l2 = CheckpointManager(run / "ckpts_latest", keep=1)
+    step, tree = l2.restore_latest()
+    l2.close()
+    assert step == 200 and float(tree["params"]["w"][0]) == 200.0
