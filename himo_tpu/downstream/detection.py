@@ -19,7 +19,7 @@ the same hypothesis the reference's tables test (downstream/README.md:55-59).
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

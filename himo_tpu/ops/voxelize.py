@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from functools import partial
 from typing import NamedTuple, Tuple
 
 import jax

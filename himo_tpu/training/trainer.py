@@ -18,7 +18,6 @@ import dataclasses
 import queue
 import threading
 import time
-from functools import partial
 from typing import Dict, Iterator, Optional
 
 import jax
@@ -30,7 +29,7 @@ from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dis
 from himo_tpu.core.transforms import relative_pose, transform_points
 from himo_tpu.data.dataset import SceneFlowDataset
 from himo_tpu.models.feedforward import SceneFlowNet, make_model
-from himo_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicated, shard_batch
+from himo_tpu.parallel.mesh import make_mesh, replicated, shard_batch
 from himo_tpu.training.checkpoints import CheckpointManager
 from himo_tpu.training.losses import SSLLossWeights, seflowpp_loss
 from himo_tpu.utils.logging import MetricsLogger
