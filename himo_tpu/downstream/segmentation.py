@@ -82,9 +82,15 @@ def train_segmentation(
     lr: float = 1e-3,
     seed: int = 0,
     verbose: bool = True,
+    deskew_gt: bool = False,
     **model_overrides,
 ):
-    """Supervised 3-class training against GT categories; returns params."""
+    """Supervised 3-class training against GT categories; returns params.
+
+    ``deskew_gt=True`` trains on GT-COMPENSATED (undistorted) clouds — the
+    WaffleIron role: the reference's net is trained on undistorted data, so
+    method-compensated inputs match its distribution while raw skewed ones
+    do not (the raw-vs-compensated gap the downstream tables measure)."""
     import optax
     from tqdm import tqdm
 
@@ -125,7 +131,14 @@ def train_segmentation(
             data = dataset[int(i)]
             if "flow_category_indices" not in data:
                 continue
-            pts, n = fit(data["pc0"][:, :3].astype(np.float32))
+            xyz = data["pc0"][:, :3].astype(np.float32)
+            if deskew_gt and "flow" in data:
+                from himo_tpu.downstream.segmentation import _dataset_name
+                from himo_tpu.eval.pipeline import prepare_frame
+
+                frame = prepare_frame(data, _dataset_name(data_dir), res_name=None)
+                xyz = xyz + (frame["gt_flow"] / 0.1) * frame["dt0"][:, None]
+            pts, n = fit(xyz)
             valid = np.zeros(num_points, bool)
             valid[:n] = True
             labels, _ = fit(
