@@ -62,3 +62,38 @@ def test_seg_pipeline_end_to_end(seg_dataset):
     # The synthetic scene has one car + one truck; a few epochs should find
     # some of them (any IoU > 0.05 proves the full loop works).
     assert car_iou + other_iou > 0.1
+
+
+def test_seg_training_deskew_gt_runs(tmp_path):
+    """deskew_gt=True trains on GT-undistorted clouds (the WaffleIron role)
+    and produces a usable net."""
+    import numpy as np
+
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.downstream.segmentation import (
+        make_seg_model,
+        segment_dataset,
+        train_segmentation,
+    )
+    from himo_tpu.ops.voxelize import PillarConfig
+
+    root = tmp_path / "av2_seg_gt"
+    make_dataset(root, num_scenes=1, num_frames=4, seed=13, num_background=500)
+    model, _ = make_seg_model(
+        pillar=PillarConfig(
+            x_range=(-25.6, 25.6), y_range=(-25.6, 25.6), voxel_size=(0.8, 0.8)
+        ),
+        depths=(16, 32),
+        point_feat_dim=8,
+        base_channels=8,
+    )
+    params = train_segmentation(
+        str(root), model=model, num_points=2048, epochs=3, verbose=False,
+        deskew_gt=True,
+    )
+    n = segment_dataset(
+        str(root), model, params, flow_mode="raw", num_points=2048, verbose=False
+    )
+    assert n > 0
+    leaves = [np.asarray(x) for x in __import__("jax").tree.leaves(params)]
+    assert all(np.isfinite(x).all() for x in leaves)
