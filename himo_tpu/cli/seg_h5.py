@@ -21,6 +21,7 @@ def main(
     ckpt: str = "",
     flow_mode: str = "raw",
     train: bool = False,
+    deskew_gt: bool = True,  # train on GT-undistorted clouds (WaffleIron role)
     num_points: int = 32768,
     epochs: int = 5,
     **model_overrides,
@@ -38,7 +39,11 @@ def main(
     model, _ = make_seg_model(**model_overrides)
     if train:
         params = train_segmentation(
-            path_dataset, model=model, num_points=num_points, epochs=epochs
+            path_dataset,
+            model=model,
+            num_points=num_points,
+            epochs=epochs,
+            deskew_gt=deskew_gt,
         )
         if ckpt:
             save_checkpoint(ckpt, {"params": params})
