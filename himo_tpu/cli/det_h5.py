@@ -6,6 +6,12 @@ compare quality. ``detector=learned`` trains and runs the center-point
 DetNet (the TransFusion-class learned role); the default geometric detector
 needs no training.
 
+NOTE: with ``detector=learned`` and no ``train_dir``, the DetNet trains on
+the SAME frames it is evaluated on — absolute P/R/F1 are optimistic from
+train/eval overlap (the raw-vs-compensated DELTA stays internally
+consistent, since both modes share one set of params). Pass a held-out
+``train_dir`` for honest absolute numbers.
+
     python -m himo_tpu.cli.det_h5 data_dir=... flow_modes='["raw","seflowpp"]'
     python -m himo_tpu.cli.det_h5 data_dir=... detector=learned epochs=8
 """

@@ -104,7 +104,7 @@ def render_targets(
         x, y, z0, l, wd, hh, yaw = [float(v) for v in box[:7]]
         fx = (x - x0) / vx
         fy = (y - y0) / vy
-        ix, iy = int(fx), int(fy)
+        ix, iy = int(np.floor(fx)), int(np.floor(fy))
         if not (0 <= ix < w and 0 <= iy < h):
             continue
         radius = _gaussian_radius(max(l / vx, 1.0), max(wd / vy, 1.0))

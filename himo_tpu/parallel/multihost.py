@@ -59,8 +59,17 @@ def global_mesh(model_parallel: int = 1):
 
 
 def host_local_batch_slice(global_batch: int) -> slice:
-    """The slice of a global batch this process should load."""
-    per_process = global_batch // jax.process_count()
+    """The slice of a global batch this process should load.
+
+    Raises when the batch doesn't divide evenly — silently dropping the
+    remainder frames would skew training without any visible signal."""
+    count = jax.process_count()
+    if global_batch % count:
+        raise ValueError(
+            f"global_batch={global_batch} not divisible by "
+            f"process_count={count}; pad or resize the batch"
+        )
+    per_process = global_batch // count
     start = jax.process_index() * per_process
     return slice(start, start + per_process)
 
