@@ -40,6 +40,7 @@ class SceneFlowDataset:
         with_pc1: bool = False,
         with_history: bool = False,
         extra_keys: Sequence[str] = (),
+        next_keys: Sequence[str] = (),
     ):
         self.directory = Path(data_dir)
         self.vis_names = (
@@ -48,6 +49,10 @@ class SceneFlowDataset:
         self.with_pc1 = with_pc1
         self.with_history = with_history
         self.extra_keys = list(extra_keys)
+        # Keys read from the SUCCESSOR frame's group, emitted with a "1"
+        # suffix (e.g. next_keys=("ssl_dynamic",) -> out["ssl_dynamic1"]) —
+        # the successor's pc0-side labels describe this item's pc1.
+        self.next_keys = list(next_keys)
 
         total_path = self.directory / INDEX_TOTAL
         if total_path.exists():
@@ -137,6 +142,9 @@ class SceneFlowDataset:
                         if "ground_mask" in g1
                         else np.zeros(len(out["pc1"]), dtype=bool)
                     )
+                for key in self.next_keys:
+                    if key in g1:
+                        out[key + "1"] = g1[key][()]
             else:
                 out["pose1"] = out["pose0"]
                 if self.with_pc1:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from himo_tpu.models.coordinate_mlp import apply_mlp, init_mlp
-from himo_tpu.models.opt_loop import run_adam
+from himo_tpu.models.opt_loop import anneal_caps, run_adam
 from himo_tpu.models.registry import register_estimator
 from himo_tpu.ops.nn import truncated_chamfer
 
@@ -35,6 +35,27 @@ class NSFPConfig:
     patience: int = 0  # >0: early-stop after this many non-improving steps
     min_delta: float = 1e-4  # relative improvement that resets patience
     schedule: str = "constant"  # or 'cosine'
+    # Coarse-to-fine truncation: start the radius at ``coarse_init`` and
+    # geometrically anneal to ``max_dist`` over the first ``anneal_frac`` of
+    # the iterations. 0 (default) disables. Measured on the bucket-complete
+    # benchmark: annealing alone barely moves fast-object EPE at 500 iters
+    # (the binding constraint is convergence, not truncation) and the coarse
+    # phase feeds outlier gradients; the cluster prior below is the
+    # default-on fast-object mechanism.
+    coarse_init: float = 0.0
+    anneal_frac: float = 0.5
+    # Cluster translation prior: seed the optimization with per-cluster
+    # centroid deltas (host DBSCAN + greedy matching, the ssl_labels
+    # machinery); the MLP then learns flow = prior + residual. Fast objects
+    # start INSIDE the truncation radius and per-frame convergence needs far
+    # fewer iterations (measured: 15 m/s objects at 500 iters go EPE
+    # 1.12 -> ~0.1 with the seed). False = classic cold start.
+    cluster_prior: bool = True
+    prior_threshold: float = 0.18
+    prior_eps: float = 1.0  # looser than the label DBSCAN: sparse objects at
+    prior_min_samples: int = 5  # range fragment, and fragments mis-match
+    prior_match_gate: float = 4.5
+    prior_min_norm: float = 1.0  # seed only where chamfer can't reach
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -45,23 +66,29 @@ def nsfp_flow(
     valid1: jax.Array,
     key: jax.Array,
     config: NSFPConfig = NSFPConfig(),
+    prior_flow: jax.Array | None = None,
 ):
     """Optimize flow for one (ego-compensated) frame pair.
 
     Returns (flow (N0, 3), best_loss). Early stopping (``patience``) runs
     the Adam loop as a dynamic ``lax.while_loop`` and keeps the best
     parameters — the classic NSFP recipe (models/opt_loop.py).
+    ``prior_flow`` seeds the solution: the MLP learns the residual on top.
     """
     params = init_mlp(key, hidden=config.hidden, layers=config.layers)
+    coarse = config.coarse_init > config.max_dist
+    base = jnp.zeros_like(pc0[:, :3]) if prior_flow is None else prior_flow
 
-    def loss_fn(p):
-        flow = apply_mlp(p, pc0[:, :3])
+    def total_flow(p):
+        return base + apply_mlp(p, pc0[:, :3])
+
+    def loss_fn(p, cap=config.max_dist):
         return truncated_chamfer(
-            pc0[:, :3] + flow,
+            pc0[:, :3] + total_flow(p),
             pc1[:, :3],
             valid1=valid0,
             valid2=valid1,
-            max_dist=config.max_dist,
+            max_dist=cap,
         )
 
     params, best_loss, _ = run_adam(
@@ -72,10 +99,54 @@ def nsfp_flow(
         schedule=config.schedule,
         patience=config.patience,
         min_delta=config.min_delta,
+        step_caps=anneal_caps(
+            config.iterations, config.max_dist, config.coarse_init,
+            config.anneal_frac,
+        )
+        if coarse
+        else None,
+        track_from=int(config.anneal_frac * config.iterations) if coarse else 0,
     )
-    flow = apply_mlp(params, pc0[:, :3])
+    flow = total_flow(params)
     flow = jnp.where(valid0[:, None], flow, 0.0)
     return flow, best_loss
+
+
+def cluster_prior_flow(pc0, pc1, valid0, valid1, config) -> "jnp.ndarray":
+    """Host-side translation-prior field for seeding the optimization.
+
+    DBSCAN clusters the dynamic points of both (ego-compensated) sweeps and
+    spreads matched-centroid deltas over each pc0 cluster
+    (training/ssl_labels.translation_priors)."""
+    import numpy as np
+
+    from himo_tpu.training.ssl_labels import (
+        cluster_dynamic_points,
+        dynamic_mask_from_nn,
+        translation_priors,
+    )
+
+    p0 = np.asarray(pc0)[:, :3].astype(np.float32)
+    p1 = np.asarray(pc1)[:, :3].astype(np.float32)
+    v0 = np.asarray(valid0, bool)
+    v1 = np.asarray(valid1, bool)
+    if not v0.any() or not v1.any():
+        return jnp.zeros_like(jnp.asarray(p0))
+    dyn0 = np.zeros(len(p0), bool)
+    dyn0[v0] = dynamic_mask_from_nn(p0[v0], p1[v1], config.prior_threshold)
+    labels0 = cluster_dynamic_points(
+        p0, dyn0, eps=config.prior_eps,
+        min_samples=config.prior_min_samples,
+    )
+    dyn1 = np.zeros(len(p1), bool)
+    dyn1[v1] = dynamic_mask_from_nn(p1[v1], p0[v0], config.prior_threshold)
+    prior, _ = translation_priors(
+        p0, labels0, p1, dyn1, eps=config.prior_eps,
+        min_samples=config.prior_min_samples,
+        match_gate=config.prior_match_gate,
+        min_norm=config.prior_min_norm,
+    )
+    return jnp.asarray(prior)
 
 
 @register_estimator("nsfp")
@@ -83,6 +154,13 @@ def make_nsfp(**overrides):
     config = NSFPConfig(**overrides)
 
     def estimate(pc0, pc1, valid0, valid1, key):
-        return nsfp_flow(pc0, pc1, valid0, valid1, key, config=config)
+        prior = (
+            cluster_prior_flow(pc0, pc1, valid0, valid1, config)
+            if config.cluster_prior
+            else None
+        )
+        return nsfp_flow(
+            pc0, pc1, valid0, valid1, key, config=config, prior_flow=prior
+        )
 
     return estimate

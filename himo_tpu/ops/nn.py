@@ -757,10 +757,19 @@ def fused_chamfer_terms(
     dynamic0: jax.Array,
     dynamic1: jax.Array,
     max_dist: float = 2.0,
+    dynamic_max_dist: float | None = None,
 ):
     """(truncated chamfer over all valid points, truncated chamfer over the
     SSL-dynamic subsets) — both terms from ONE fused NN pass (the seflowpp
-    loss previously paid 4 identical distance sweeps)."""
+    loss previously paid 4 identical distance sweeps).
+
+    ``dynamic_max_dist`` optionally widens the dynamic term's truncation
+    radius (default: same as ``max_dist``). Objects at 25-34 m/s move
+    2.5-3.4 m between sweeps — beyond the classic 2 m radius every gradient
+    is clipped away; the dynamic-only term is restricted to SSL-dynamic
+    points on both sides, so a wider radius there recovers the fast-object
+    signal without letting background outliers dominate. Truncation is a
+    post-NN clamp, so the wider radius costs nothing."""
     to_pen = lambda m: jnp.where(m, 0.0, _MASK_BIG)  # noqa: E731
     qa, qd = to_pen(valid0), to_pen(valid0 & dynamic0)
     ra, rd = to_pen(valid1), to_pen(valid1 & dynamic1)
@@ -768,6 +777,8 @@ def fused_chamfer_terms(
         warped[:, :3], pc1[:, :3], qa, qd, ra, rd
     )
     cap = max_dist * max_dist
+    dyn_dist = max_dist if dynamic_max_dist is None else dynamic_max_dist
+    dyn_cap = dyn_dist * dyn_dist
 
     def masked_mean(d, valid):
         return jnp.sum(jnp.where(valid, d, 0.0)) / jnp.maximum(
@@ -778,8 +789,8 @@ def fused_chamfer_terms(
         jnp.minimum(dr_all, cap), valid1
     )
     dyn = masked_mean(
-        jnp.minimum(dq_dyn, cap), valid0 & dynamic0
-    ) + masked_mean(jnp.minimum(dr_dyn, cap), valid1 & dynamic1)
+        jnp.minimum(dq_dyn, dyn_cap), valid0 & dynamic0
+    ) + masked_mean(jnp.minimum(dr_dyn, dyn_cap), valid1 & dynamic1)
     return chamfer, dyn
 
 

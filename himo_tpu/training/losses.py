@@ -37,6 +37,11 @@ class SSLLossWeights:
     static_flow_loss: float = 1.0
     dynamic_chamfer_dis: float = 1.0
     cluster_based_pc0pc1: float = 1.0
+    # Fast-object translation prior (himo_tpu extension, see
+    # training/ssl_labels.translation_priors): penalizes deviation from the
+    # matched-cluster centroid delta — the only loss term whose gradient
+    # reaches objects moving beyond every chamfer truncation radius.
+    prior_flow_loss: float = 1.0
 
 
 def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -69,6 +74,21 @@ def cluster_rigidity_loss(
     return _masked_mean(jnp.sum(dev * dev, axis=1), in_cluster)
 
 
+def prior_flow_loss(
+    flow: jax.Array,
+    prior_flow: jax.Array,
+    prior_valid: jax.Array,
+) -> jax.Array:
+    """Mean squared deviation from the cluster translation prior."""
+    dev = flow - prior_flow
+    return _masked_mean(jnp.sum(dev * dev, axis=1), prior_valid)
+
+
+def _assemble(weights: SSLLossWeights, terms: Dict[str, jax.Array]):
+    total = sum(getattr(weights, k) * v for k, v in terms.items())
+    return {"total": total, **terms}
+
+
 def seflowpp_loss(
     flow: jax.Array,  # (N, 3) predicted residual flow for pc0
     pc0: jax.Array,  # (N, 3) ego-compensated sweep 0
@@ -81,33 +101,37 @@ def seflowpp_loss(
     num_clusters: int = 64,
     weights: SSLLossWeights = SSLLossWeights(),
     max_dist: float = 2.0,
+    dynamic_max_dist: float | None = None,
+    prior0: jax.Array | None = None,  # (N, 3) translation prior
+    prior_valid0: jax.Array | None = None,  # (N,)
 ) -> Dict[str, jax.Array]:
-    """All four SSL terms + their weighted total."""
+    """All SSL terms + their weighted total.
+
+    Fast-object extensions (both optional, both zero-cost in the NN pass):
+    ``dynamic_max_dist`` widens the dynamic chamfer truncation, and
+    ``prior0``/``prior_valid0`` activate the cluster translation prior."""
     warped = pc0[:, :3] + flow
 
     # Both chamfer terms ride ONE fused NN pass (4 identical distance sweeps
     # otherwise dominate the train step — ops/nn.py fused_masked_nn).
     chamfer, dyn_chamfer = fused_chamfer_terms(
-        warped, pc1, valid0, valid1, dynamic0, dynamic1, max_dist=max_dist
+        warped, pc1, valid0, valid1, dynamic0, dynamic1,
+        max_dist=max_dist, dynamic_max_dist=dynamic_max_dist,
     )
 
-    static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
-
-    cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)
-
-    total = (
-        weights.chamfer_dis * chamfer
-        + weights.static_flow_loss * static_loss
-        + weights.dynamic_chamfer_dis * dyn_chamfer
-        + weights.cluster_based_pc0pc1 * cluster_loss
-    )
-    return {
-        "total": total,
+    terms = {
         "chamfer_dis": chamfer,
-        "static_flow_loss": static_loss,
+        "static_flow_loss": static_flow_loss(flow, valid0 & (~dynamic0)),
         "dynamic_chamfer_dis": dyn_chamfer,
-        "cluster_based_pc0pc1": cluster_loss,
+        "cluster_based_pc0pc1": cluster_rigidity_loss(
+            flow, cluster0, valid0, num_clusters
+        ),
     }
+    if prior0 is not None:
+        terms["prior_flow_loss"] = prior_flow_loss(
+            flow, prior0, prior_valid0 & valid0
+        )
+    return _assemble(weights, terms)
 
 
 def seflowpp_loss_sampled(
@@ -124,6 +148,9 @@ def seflowpp_loss_sampled(
     num_clusters: int = 64,
     weights: SSLLossWeights = SSLLossWeights(),
     max_dist: float = 2.0,
+    dynamic_max_dist: float | None = None,
+    prior0: jax.Array | None = None,
+    prior_valid0: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
     """seflowpp_loss with SAMPLED Chamfer terms.
 
@@ -131,7 +158,7 @@ def seflowpp_loss_sampled(
     (measured: a 65k-point step spends most of its 4 s in the loss NN, not
     the backbone). Gathering K-point subsets for the chamfer terms cuts that
     by (N/K)^2 while the cheap elementwise/segment terms (static flow,
-    cluster rigidity) stay exact over the full cloud.
+    cluster rigidity, translation prior) stay exact over the full cloud.
     """
     from himo_tpu.ops.nn import take_rows
 
@@ -144,21 +171,19 @@ def seflowpp_loss_sampled(
     d1_l = dynamic1[loss_idx1]
 
     chamfer, dyn_chamfer = fused_chamfer_terms(
-        w_l, p1_l, v0_l, v1_l, d0_l, d1_l, max_dist=max_dist
+        w_l, p1_l, v0_l, v1_l, d0_l, d1_l,
+        max_dist=max_dist, dynamic_max_dist=dynamic_max_dist,
     )
-    static_loss = static_flow_loss(flow, valid0 & (~dynamic0))
-    cluster_loss = cluster_rigidity_loss(flow, cluster0, valid0, num_clusters)
-
-    total = (
-        weights.chamfer_dis * chamfer
-        + weights.static_flow_loss * static_loss
-        + weights.dynamic_chamfer_dis * dyn_chamfer
-        + weights.cluster_based_pc0pc1 * cluster_loss
-    )
-    return {
-        "total": total,
+    terms = {
         "chamfer_dis": chamfer,
-        "static_flow_loss": static_loss,
+        "static_flow_loss": static_flow_loss(flow, valid0 & (~dynamic0)),
         "dynamic_chamfer_dis": dyn_chamfer,
-        "cluster_based_pc0pc1": cluster_loss,
+        "cluster_based_pc0pc1": cluster_rigidity_loss(
+            flow, cluster0, valid0, num_clusters
+        ),
     }
+    if prior0 is not None:
+        terms["prior_flow_loss"] = prior_flow_loss(
+            flow, prior0, prior_valid0 & valid0
+        )
+    return _assemble(weights, terms)

@@ -30,15 +30,11 @@ import numpy as np
 from himo_tpu.core.transforms import rigid_flow  # numpy: host prep must not dispatch per-op to the device
 
 
-def dynamic_mask_from_nn(
-    pc0_comp: np.ndarray,
-    pc1: np.ndarray,
-    threshold: float = 0.18,
-) -> np.ndarray:
-    """Points of pc0_comp with no near neighbor in pc1 (host KD-tree;
-    the native C++ tree when built, scipy otherwise)."""
+def nn_residual_distances(pc0_comp: np.ndarray, pc1: np.ndarray) -> np.ndarray:
+    """Per-point NN distance into the next sweep (host KD-tree; the native
+    C++ tree when built, scipy otherwise)."""
     if len(pc1) == 0:
-        return np.zeros(len(pc0_comp), dtype=bool)
+        return np.full(len(pc0_comp), np.inf, np.float32)
     from himo_tpu import native
 
     if native.available():
@@ -47,6 +43,40 @@ def dynamic_mask_from_nn(
         from scipy.spatial import cKDTree
 
         d, _ = cKDTree(pc1[:, :3]).query(pc0_comp[:, :3], k=1)
+    return np.asarray(d, np.float32)
+
+
+def adaptive_dynamic_threshold(
+    d: np.ndarray, base: float = 0.18, factor: float = 3.0
+) -> float:
+    """Density-aware dynamic threshold.
+
+    A fixed 0.18 m residual test silently breaks on sparse/subsampled clouds:
+    static points' NN spacing alone exceeds it and half the background gets
+    flagged dynamic (measured on the 8192-point subsampled benchmark:
+    ~2500 background false positives, object clusters merged with noise).
+    Static points dominate every automotive frame, so ``factor`` x the median
+    residual separates movers from sampling noise at any density."""
+    d = d[np.isfinite(d)]
+    if len(d) == 0:
+        return base
+    return float(max(base, factor * np.median(d)))
+
+
+def dynamic_mask_from_nn(
+    pc0_comp: np.ndarray,
+    pc1: np.ndarray,
+    threshold: float = 0.18,
+    adaptive: bool = True,
+) -> np.ndarray:
+    """Points of pc0_comp with no near neighbor in pc1.
+
+    ``adaptive=True`` raises the threshold on sparse clouds (see
+    :func:`adaptive_dynamic_threshold`); ``threshold`` is the dense-cloud
+    floor either way."""
+    d = nn_residual_distances(pc0_comp, pc1)
+    if adaptive:
+        threshold = adaptive_dynamic_threshold(d, base=threshold)
     return d > threshold
 
 
@@ -73,13 +103,63 @@ def cluster_dynamic_points(
     return labels
 
 
+def translation_priors(
+    pc0_comp: np.ndarray,
+    labels0: np.ndarray,
+    xyz1: np.ndarray,
+    dynamic1: np.ndarray,
+    eps: float = 0.6,
+    min_samples: int = 8,
+    max_clusters: int = 63,
+    match_gate: float = 4.5,
+    min_norm: float = 0.0,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-point translation priors for fast objects.
+
+    Clusters pc1's dynamic points, greedily matches cluster centroids across
+    the sweeps (1-1, gated at ``match_gate`` m = ~45 m/s at 10 Hz), and
+    spreads each matched cluster's centroid delta to its pc0 points. The
+    resulting prior reaches objects whose 2.5-3.4 m/frame motion lies beyond
+    any chamfer truncation radius — the supervision signal HiMo's high-speed
+    regime needs (cf. worst-case sweep-travel box growth,
+    /root/reference/dataprocess/extract_sca.py:110-114).
+
+    ``min_norm`` drops matches whose delta is below it (estimator seeding
+    only needs priors where plain chamfer cannot reach; small spurious
+    deltas on static structures would otherwise have to be unlearned).
+
+    Returns ((N, 3) float32 prior flow, (N,) bool prior validity)."""
+    from himo_tpu.models.icp_flow import match_cluster_translations
+
+    labels1 = cluster_dynamic_points(
+        xyz1, dynamic1, eps=eps, min_samples=min_samples, max_clusters=max_clusters
+    )
+    init_t, matched = match_cluster_translations(
+        pc0_comp, labels0, xyz1, labels1, max_clusters, match_gate
+    )
+    prior = np.zeros((len(pc0_comp), 3), np.float32)
+    prior_valid = np.zeros(len(pc0_comp), bool)
+    for cid in range(1, int(labels0.max()) + 1):
+        if cid - 1 < max_clusters and matched[cid - 1]:
+            if np.linalg.norm(init_t[cid - 1]) < min_norm:
+                continue
+            m = labels0 == cid
+            prior[m] = init_t[cid - 1]
+            prior_valid[m] = True
+    return prior, prior_valid
+
+
 def label_frame(
     data: Dict[str, np.ndarray],
     threshold: float = 0.18,
     eps: float = 0.6,
     min_samples: int = 8,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(dynamic, cluster) labels for one frame-pair dict (needs pc1/gm1)."""
+    with_prior: bool = False,
+):
+    """(dynamic, cluster) labels for one frame-pair dict (needs pc1/gm1).
+
+    ``with_prior=True`` additionally returns (prior, prior_valid) from
+    :func:`translation_priors` — a 4-tuple."""
     xyz0 = data["pc0"][:, :3]
     xyz1 = data["pc1"][:, :3]
     pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
@@ -89,7 +169,14 @@ def label_frame(
     dynamic = np.zeros(len(xyz0), dtype=bool)
     dynamic[ng0] = dynamic_mask_from_nn(pc0_comp[ng0], xyz1[ng1], threshold)
     clusters = cluster_dynamic_points(pc0_comp, dynamic, eps, min_samples)
-    return dynamic, clusters.astype(np.uint16)
+    if not with_prior:
+        return dynamic, clusters.astype(np.uint16)
+    dynamic1 = np.zeros(len(xyz1), dtype=bool)
+    dynamic1[ng1] = dynamic_mask_from_nn(xyz1[ng1], pc0_comp[ng0], threshold)
+    prior, prior_valid = translation_priors(
+        pc0_comp, clusters, xyz1, dynamic1, eps=eps, min_samples=min_samples
+    )
+    return dynamic, clusters.astype(np.uint16), prior, prior_valid
 
 
 def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) -> int:
@@ -106,10 +193,17 @@ def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) ->
     n = 0
     for i in it:
         data = dataset[i]
-        dynamic, clusters = label_frame(data, threshold=threshold)
+        dynamic, clusters, prior, prior_valid = label_frame(
+            data, threshold=threshold, with_prior=True
+        )
         with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
             g = f[str(data["timestamp"])]
-            for key, arr in (("ssl_dynamic", dynamic), ("ssl_cluster", clusters)):
+            for key, arr in (
+                ("ssl_dynamic", dynamic),
+                ("ssl_cluster", clusters),
+                ("ssl_prior", prior),
+                ("ssl_prior_valid", prior_valid),
+            ):
                 if key in g:
                     del g[key]
                 g.create_dataset(key, data=arr)
@@ -303,9 +397,27 @@ def write_ssl_labels_dufo(
             du_dyn,
             ~np.asarray(data["gm0"], bool),
         )
+        # Translation priors ride the fused clusters (cluster geometry is in
+        # the ego-compensated frame, like label_frame's).
+        xyz0 = data["pc0"][:, :3]
+        xyz1 = data["pc1"][:, :3]
+        pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
+        pc0_comp = xyz0 + pflow
+        ng0 = ~np.asarray(data["gm0"], bool)
+        ng1 = ~np.asarray(data["gm1"], bool)
+        dynamic1 = np.zeros(len(xyz1), bool)
+        dynamic1[ng1] = dynamic_mask_from_nn(xyz1[ng1], pc0_comp[ng0], threshold)
+        prior, prior_valid = translation_priors(
+            pc0_comp, clusters.astype(np.int64), xyz1, dynamic1
+        )
         with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
             g = f[str(data["timestamp"])]
-            for key, arr in (("ssl_dynamic", dynamic), ("ssl_cluster", clusters)):
+            for key, arr in (
+                ("ssl_dynamic", dynamic),
+                ("ssl_cluster", clusters),
+                ("ssl_prior", prior),
+                ("ssl_prior_valid", prior_valid),
+            ):
                 if key in g:
                     del g[key]
                 g.create_dataset(key, data=arr)

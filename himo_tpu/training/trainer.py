@@ -43,10 +43,19 @@ class TrainConfig:
     lr: float = 6e-5
     step_lr_epochs: int = 3
     step_lr_gamma: float = 0.5
+    # Conditioning (himo_tpu additions to the reference recipe — measured to
+    # matter in the few-step regime; reference-parity run: warmup_steps=0,
+    # grad_clip=0):
+    warmup_steps: int = 100  # linear lr warmup from 0
+    grad_clip: float = 2.0  # global-norm clip, 0 = off
     num_points: int = 65536  # fixed per-frame point budget
     loss_points: int = 16384  # chamfer-term sample size (0 = full cloud)
     num_clusters: int = 64
     max_dist: float = 2.0
+    # Wider truncation for the dynamic-only chamfer term (fast objects move
+    # 2.5-3.4 m/frame, beyond the classic 2 m radius; the dynamic masks on
+    # both sides keep background out of the wider search). None = max_dist.
+    dynamic_max_dist: Optional[float] = 5.0
     weights: SSLLossWeights = SSLLossWeights()
     seed: int = 0
     keep_checkpoints: int = 3
@@ -96,6 +105,18 @@ def build_frame_arrays(
     cl0 = np.zeros(num_points, np.int32)
     if "ssl_cluster" in data:
         cl0[:n0] = data["ssl_cluster"][:n0]
+    # pc1's dynamic mask = the successor frame's pc0-side SSL labels; when
+    # absent every valid pc1 point stays a correspondence candidate.
+    dyn1 = v1.copy()
+    if "ssl_dynamic1" in data:
+        dyn1 = np.zeros(num_points, bool)
+        dyn1[:n1] = data["ssl_dynamic1"][:n1]
+        dyn1 &= v1
+    prior0 = np.zeros((num_points, 3), np.float32)
+    prior_valid0 = np.zeros(num_points, bool)
+    if "ssl_prior" in data:
+        prior0[:n0] = data["ssl_prior"][:n0]
+        prior_valid0[:n0] = data["ssl_prior_valid"][:n0]
 
     out = {
         "pc0": p0,
@@ -103,7 +124,10 @@ def build_frame_arrays(
         "valid0": v0,
         "valid1": v1,
         "dynamic0": dyn0,
+        "dynamic1": dyn1,
         "cluster0": cl0,
+        "prior0": prior0,
+        "prior_valid0": prior_valid0,
     }
     if loss_points and loss_points < num_points:
         rng = rng or np.random.default_rng(0)
@@ -211,10 +235,14 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
         sweeps.append(b["pc_hist"])
         valids.append(b["valid_hist"])
     flow = model.apply(params, tuple(sweeps), tuple(valids))
+    dynamic1 = b.get("dynamic1", b["valid1"])
     common = dict(
         num_clusters=config.num_clusters,
         weights=config.weights,
         max_dist=config.max_dist,
+        dynamic_max_dist=config.dynamic_max_dist,
+        prior0=b.get("prior0"),
+        prior_valid0=b.get("prior_valid0"),
     )
     if "loss_idx0" in b:
         from himo_tpu.training.losses import seflowpp_loss_sampled
@@ -226,8 +254,7 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
             b["valid0"],
             b["valid1"],
             b["dynamic0"],
-            # pc1 dynamic mask unknown -> all valid pc1 are candidates
-            b["valid1"],
+            dynamic1,
             b["cluster0"],
             b["loss_idx0"],
             b["loss_idx1"],
@@ -241,7 +268,7 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
             b["valid0"],
             b["valid1"],
             b["dynamic0"],
-            b["valid1"],
+            dynamic1,
             b["cluster0"],
             **common,
         )
@@ -321,12 +348,21 @@ def run_validation(
 
 
 def make_optimizer(config: TrainConfig, steps_per_epoch: int):
-    """Adam + StepLR(step_lr_epochs, step_lr_gamma)."""
+    """Adam + StepLR(step_lr_epochs, step_lr_gamma), with optional linear
+    warmup and global-norm gradient clipping."""
     boundaries = {}
     for e in range(config.step_lr_epochs, config.epochs, config.step_lr_epochs):
         boundaries[e * max(steps_per_epoch, 1)] = config.step_lr_gamma
-    schedule = optax.piecewise_constant_schedule(config.lr, boundaries)
-    return optax.adam(schedule), schedule
+    step_lr = optax.piecewise_constant_schedule(config.lr, boundaries)
+    if config.warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, config.lr, config.warmup_steps)
+        schedule = optax.join_schedules([warmup, step_lr], [config.warmup_steps])
+    else:
+        schedule = step_lr
+    opt = optax.adam(schedule)
+    if config.grad_clip > 0:
+        opt = optax.chain(optax.clip_by_global_norm(config.grad_clip), opt)
+    return opt, schedule
 
 
 # -------------------------------------------------------------------- loop
@@ -353,7 +389,8 @@ def train(
         data_dir,
         with_pc1=True,
         with_history=num_frames >= 3,
-        extra_keys=("ssl_dynamic", "ssl_cluster"),
+        extra_keys=("ssl_dynamic", "ssl_cluster", "ssl_prior", "ssl_prior_valid"),
+        next_keys=("ssl_dynamic",),
     )
     if len(dataset) < config.batch_size:
         raise ValueError(

@@ -1,0 +1,219 @@
+"""Fast-object (25-34 m/s) capability tests — the regime HiMo exists for.
+
+Objects moving 2.5-3.4 m between 10 Hz sweeps exceed the classic 2 m chamfer
+truncation radius, so without coarse-to-fine truncation / translation priors
+every estimator's gradient at such objects is clipped to zero (the round-2
+benchmark failure: EPE_FD >= 1.07 m for every method). These tests pin each
+fix on a minimal scene where the failure is reproducible:
+
+- an ISOLATED small blob displaced 3.4 m (no self-overlap, no background
+  within the truncation radius) gets zero signal from a fixed 2 m radius;
+- coarse-to-fine NSFP/FastNSF, centroid-seeded ICP-Flow, and the SSL
+  translation-prior labels must each recover the motion.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def _fast_scene(rng, shift=(3.4, 0.4, 0.0), n_static=600, n_obj=160):
+    """Static clutter in x<0; a compact blob at +x displaced by ``shift``."""
+    static = rng.uniform(-12, 0, size=(n_static, 3)).astype(np.float32)
+    static[:, 1] = rng.uniform(-10, 10, size=n_static)
+    static[:, 2] = rng.uniform(0, 2, size=n_static)
+    blob0 = (rng.normal(scale=0.4, size=(n_obj, 3)) + [6.0, 3.0, 1.0]).astype(
+        np.float32
+    )
+    blob1 = blob0 + np.asarray(shift, np.float32)
+    pc0 = np.concatenate([static, blob0])
+    pc1 = np.concatenate([static, blob1])
+    n = len(pc0)
+    target = 1024
+    p0 = np.zeros((target, 3), np.float32)
+    p1 = np.zeros((target, 3), np.float32)
+    p0[:n], p1[:n] = pc0, pc1
+    v = np.zeros(target, bool)
+    v[:n] = True
+    gt = np.zeros((target, 3), np.float32)
+    gt[n_static:n] = shift
+    return p0, p1, v, gt, n_static, n
+
+
+class TestAnnealCaps:
+    def test_schedule_shape(self):
+        from himo_tpu.models.opt_loop import anneal_caps
+
+        caps = np.asarray(anneal_caps(100, 2.0, 10.0, anneal_frac=0.5))
+        assert caps[0] == pytest.approx(10.0)
+        np.testing.assert_allclose(caps[50:], 2.0, rtol=1e-5)
+        assert np.all(np.diff(caps) <= 1e-6)  # monotone non-increasing
+
+    def test_run_adam_step_caps_reach_loss(self):
+        """loss_fn sees the per-step cap in both loop modes."""
+        from himo_tpu.models.opt_loop import run_adam
+
+        def loss_fn(p, cap):
+            return jnp.sum((p - cap) ** 2)
+
+        # Scan mode: late steps all optimize toward cap=1.
+        caps = jnp.concatenate([jnp.full((10,), 5.0), jnp.full((90,), 1.0)])
+        p, loss, _ = run_adam(
+            loss_fn, jnp.zeros(()), iterations=100, lr=0.3, step_caps=caps
+        )
+        assert abs(float(p) - 1.0) < 0.2
+
+        # While mode: caps reach the loss, early stopping still fires.
+        p2, loss2, steps = run_adam(
+            loss_fn,
+            jnp.zeros(()),
+            iterations=200,
+            lr=0.2,
+            patience=20,
+            step_caps=jnp.full((200,), 1.0),
+            track_from=0,
+        )
+        assert float(loss2) < 1e-2
+        assert int(steps) < 200
+
+
+class TestCoarseToFineNSFP:
+    def test_coarse_to_fine_recovers_fast_object(self, rng):
+        from himo_tpu.models.nsfp import NSFPConfig, nsfp_flow
+
+        p0, p1, v, gt, n_s, n = _fast_scene(rng)
+        cfg = NSFPConfig(hidden=64, layers=4, iterations=300, lr=0.01,
+                         coarse_init=10.0)
+        flow, _ = nsfp_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=cfg)
+        err = np.linalg.norm(np.asarray(flow)[n_s:n] - gt[n_s:n], axis=1)
+        assert err.mean() < 0.7
+
+    def test_fastnsf_coarse_to_fine(self, rng):
+        from himo_tpu.models.fastnsf import FastNSFConfig, fastnsf_flow
+        from himo_tpu.ops.dt import DTConfig
+
+        dt = DTConfig(
+            x_range=(-16.0, 16.0),
+            y_range=(-16.0, 16.0),
+            z_range=(-2.0, 4.0),
+            voxel_size=(0.25, 0.25, 0.25),
+        )
+        p0, p1, v, gt, n_s, n = _fast_scene(rng)
+        c2f = FastNSFConfig(hidden=64, layers=4, iterations=250, lr=0.01, dt=dt,
+                            coarse_init=10.0)
+        f_c2f, _ = fastnsf_flow(p0, p1, v, v, jax.random.PRNGKey(0), config=c2f)
+        e_c2f = np.linalg.norm(np.asarray(f_c2f)[n_s:n] - gt[n_s:n], axis=1)
+        assert e_c2f.mean() < 0.8
+
+
+class TestICPFlowFastObjects:
+    def test_centroid_seed_recovers_fast_cluster(self, rng):
+        from himo_tpu.data.synthetic import _sample_box_points
+        from himo_tpu.models.icp_flow import ICPFlowConfig, icpflow_estimate
+
+        static = rng.uniform(-12, 0, size=(500, 3)).astype(np.float32)
+        box = _sample_box_points(rng, 150, np.array([4.5, 2.0, 1.6]))
+        blob0 = (box + [6, 3, 1]).astype(np.float32)
+        shift = np.array([3.4, 0.4, 0.0], np.float32)
+        pc0 = np.concatenate([static, blob0])
+        pc1 = np.concatenate([static, blob0 + shift])
+        valid = np.ones(len(pc0), bool)
+        cfg = ICPFlowConfig(max_clusters=8, cluster_capacity=256, icp_iters=12,
+                            dbscan_eps=1.2)
+        flow, _ = icpflow_estimate(pc0, pc1, valid, valid, cfg)
+        clustered = np.linalg.norm(flow[500:], axis=1) > 1e-6
+        assert clustered.mean() > 0.8
+        err = np.linalg.norm(flow[500:][clustered] - shift, axis=1)
+        # Median: DBSCAN occasionally sweeps a stray static point into the
+        # cluster, whose individual error is the full 3.4 m shift.
+        assert np.median(err) < 0.3
+        assert err.mean() < 0.6
+        np.testing.assert_allclose(flow[:500], 0.0)
+
+    def test_match_cluster_translations_greedy_gate(self):
+        from himo_tpu.models.icp_flow import match_cluster_translations
+
+        pc0 = np.array(
+            [[0, 0, 0], [0.2, 0, 0], [10, 0, 0], [10.2, 0, 0]], np.float32
+        )
+        labels0 = np.array([1, 1, 2, 2])
+        pc1 = np.array(
+            [[3, 0, 0], [3.2, 0, 0], [30, 0, 0], [30.2, 0, 0]], np.float32
+        )
+        labels1 = np.array([1, 1, 2, 2])
+        init_t, matched = match_cluster_translations(
+            pc0, labels0, pc1, labels1, max_clusters=8, match_gate=4.5
+        )
+        # Cluster 1 matches at 3 m; cluster 2's candidate is 20 m away (gated).
+        assert matched[0] and not matched[1]
+        np.testing.assert_allclose(init_t[0], [3.0, 0, 0], atol=1e-5)
+        np.testing.assert_allclose(init_t[1], 0.0)
+
+
+class TestSSLFastObjectSignals:
+    def test_translation_prior_labels(self, rng):
+        from himo_tpu.training.ssl_labels import (
+            cluster_dynamic_points,
+            translation_priors,
+        )
+
+        static = rng.uniform(-12, 0, size=(400, 3)).astype(np.float32)
+        blob0 = (rng.normal(scale=0.5, size=(120, 3)) + [6, 3, 1]).astype(
+            np.float32
+        )
+        shift = np.array([3.0, 0.5, 0.0], np.float32)
+        pc0 = np.concatenate([static, blob0])
+        pc1 = np.concatenate([static, blob0 + shift])
+        dyn0 = np.zeros(len(pc0), bool)
+        dyn0[400:] = True
+        dyn1 = np.zeros(len(pc1), bool)
+        dyn1[400:] = True
+        labels0 = cluster_dynamic_points(pc0, dyn0, eps=1.0)
+        prior, pvalid = translation_priors(pc0, labels0, pc1, dyn1, eps=1.0)
+        assert pvalid[400:].mean() > 0.9
+        assert not pvalid[:400].any()
+        dev = np.linalg.norm(prior[400:][pvalid[400:]] - shift[None, :], axis=1)
+        assert dev.max() < 0.2
+
+    def test_prior_term_reaches_fast_flow(self, rng):
+        """Gradient through the prior term is nonzero where chamfer's is
+        clipped; total loss prefers the true fast flow over zero flow."""
+        from himo_tpu.training.losses import SSLLossWeights, seflowpp_loss
+
+        p0, p1, v, gt, n_s, n = _fast_scene(rng)
+        dyn = np.zeros(1024, bool)
+        dyn[n_s:n] = True
+        cl = np.zeros(1024, np.int32)
+        cl[n_s:n] = 1
+        pvalid = dyn.copy()
+
+        def loss_for(flow):
+            out = seflowpp_loss(
+                jnp.asarray(flow),
+                jnp.asarray(p0),
+                jnp.asarray(p1),
+                jnp.asarray(v),
+                jnp.asarray(v),
+                jnp.asarray(dyn),
+                jnp.asarray(dyn),
+                jnp.asarray(cl),
+                dynamic_max_dist=5.0,
+                prior0=jnp.asarray(gt),
+                prior_valid0=jnp.asarray(pvalid),
+            )
+            return out
+
+        zero = loss_for(np.zeros((1024, 3), np.float32))
+        true = loss_for(gt)
+        assert float(true["total"]) < float(zero["total"])
+        assert float(zero["prior_flow_loss"]) > 5.0
+        assert float(true["prior_flow_loss"]) < 1e-6
+
+        # The chamfer-only configuration (2 m cap, no prior) cannot separate
+        # them nearly as well on the dynamic term.
+        g = jax.grad(
+            lambda f: loss_for(f)["total"]
+        )(jnp.zeros((1024, 3), jnp.float32))
+        obj_g = np.abs(np.asarray(g)[n_s:n]).sum()
+        assert obj_g > 0.0
