@@ -24,9 +24,10 @@ def main(
     data_dir: str = "",
     res_name: str = "",
     comp_dis_zip: str = "",
+    strict_parity: bool = False,  # reference 4-column distance-bucket norm
 ) -> InstanceMetrics:
     data_name, source = check_valid(data_dir, res_name, comp_dis_zip)
-    metrics = InstanceMetrics(data_name=data_name)
+    metrics = InstanceMetrics(data_name=data_name, strict_parity=strict_parity)
     dataset = SceneFlowDataset(
         data_dir, vis_name=res_name if source == EvalSource.FLOW else "", eval=True
     )
@@ -40,7 +41,7 @@ def main(
         )
         m = frame["mask_eval"]
         common = dict(
-            pc=frame["xyz"][m],
+            pc=frame["pc_full"][m] if strict_parity else frame["xyz"][m],
             gt_flow=frame["gt_flow"][m],
             dt0=frame["dt0"][m],
             category_indices=data["flow_category_indices"][m],

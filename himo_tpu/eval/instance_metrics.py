@@ -14,6 +14,15 @@ leaderboard scorer documents as canonical (tools/test/score.py:203-208):
 - across frames: category mean = per-frame means weighted by per-frame point
   counts; the reported std is the std of per-frame stds (eval.py:218-221);
 - the "# Objs" column counts frames-with-instances, not instances.
+
+One DELIBERATE deviation: the reference buckets instance ego-distance with a
+norm over ALL pc columns — including intensity (eval.py:94,
+``pc[mask_class][mask]`` is (N, 4)) — so a bright distant point inflates the
+"distance". This implementation uses xyz only by default;
+``strict_parity=True`` (CLI ``strict_parity=true``) reproduces the
+reference's 4-column norm bit-for-bit for leaderboard cross-checks on real
+data, where intensity is nonzero and the ``distance`` breakdowns would
+otherwise diverge. Pinned by tests/test_eval_pipeline.py.
 """
 
 from __future__ import annotations
@@ -82,9 +91,13 @@ class InstanceMetrics:
         data_name: str,
         sensor_hz: float = 10.0,
         chamfer_fn: Callable[[np.ndarray, np.ndarray], float] = chamfer_distance_host,
+        strict_parity: bool = False,
     ):
         self.data_name = data_name
         self.sensor_dt = 1.0 / sensor_hz
+        # strict_parity: distance-bucket norm over ALL pc columns (incl.
+        # intensity), matching the reference quirk at eval.py:94.
+        self.strict_parity = strict_parity
         self.frame_cnt = 0
         # Scania pseudo-labels mislabel slow motion; 1-2 LiDAR rigs show no
         # distortion at low speed (reference eval.py:30-36).
@@ -137,7 +150,8 @@ class InstanceMetrics:
                 )
                 if num_pts < 10 or vel < self.min_vel:
                     continue
-                dis = float(np.linalg.norm(pc_cls[m][:, :3], axis=1).mean())
+                dis_cols = pc_cls[m] if self.strict_parity else pc_cls[m][:, :3]
+                dis = float(np.linalg.norm(dis_cols, axis=1).mean())
                 mpe = mean_point_error(gt_refined_cls[m], refined_cls[m])
                 cham = self.chamfer_fn(gt_refined_cls[m], refined_cls[m])
                 for metric, value in (("vel", vel), ("dis", dis)):

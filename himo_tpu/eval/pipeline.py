@@ -65,6 +65,7 @@ def prepare_frame(
 
     out = {
         "xyz": xyz,
+        "pc_full": pc0,  # all stored columns (strict_parity distance quirk)
         "pose_flow": pose_flow,
         "gt_flow": gt_flow,
         "mask_eval": mask_eval,

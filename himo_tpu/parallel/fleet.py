@@ -46,16 +46,30 @@ def _pad(arr: np.ndarray, n: int, fill=0):
     return out, k
 
 
-def frame_to_arrays(data: Dict, num_points: int, with_history: bool) -> Dict:
-    """One dataset frame -> fixed-size arrays for the fleet step."""
+# Heavy float32 keys whose pad+stack defers to the native threaded packer
+# at batch-assembly time (everything else is cheap bools/scalars).
+_PACK_KEYS = ("pc0", "pc1", "pose_flow", "dt0", "pc_hist")
+
+
+def frame_to_arrays(
+    data: Dict, num_points: int, with_history: bool, defer_pack: bool = False
+) -> Dict:
+    """One dataset frame -> fixed-size arrays for the fleet step.
+
+    ``defer_pack=True`` leaves the float32 keys UNPADDED (raw ``(n, C)``
+    arrays); :func:`stack_fleet_batch` then pads+stacks them in one
+    multithreaded pass through ``native.pack_frames`` (TODO §systems: wire
+    the C++ batch packer into the hot host loops)."""
     xyz0 = data["pc0"][:, :3].astype(np.float32)
     xyz1 = data["pc1"][:, :3].astype(np.float32)
     pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
     lidar_dt = data["lidar_dt"].astype(np.float32)
     dt0 = lidar_dt.max() - lidar_dt
 
-    p0, n0 = _pad((xyz0 + pflow).astype(np.float32), num_points)
-    p1, n1 = _pad(xyz1, num_points)
+    fit = (lambda a: (a[:num_points], min(len(a), num_points))) if defer_pack \
+        else (lambda a: _pad(a, num_points))
+    p0, n0 = fit((xyz0 + pflow).astype(np.float32))
+    p1, n1 = fit(xyz1)
     v0 = np.zeros(num_points, bool)
     v0[:n0] = ~data["gm0"][:n0]
     v1 = np.zeros(num_points, bool)
@@ -65,19 +79,43 @@ def frame_to_arrays(data: Dict, num_points: int, with_history: bool) -> Dict:
         "pc1": p1,
         "valid0": v0,
         "valid1": v1,
-        "pose_flow": _pad(pflow.astype(np.float32), num_points)[0],
-        "dt0": _pad(dt0, num_points)[0],
+        "pose_flow": fit(pflow.astype(np.float32))[0],
+        "dt0": fit(dt0)[0],
         "num_real": n0,
         "num_total": len(xyz0),  # original cloud size (may exceed the budget)
     }
     if with_history:
         xyzp = data["pc_prev"][:, :3].astype(np.float32)
         rel = relative_pose(data["pose_prev"], data["pose1"])
-        ph, nh = _pad(transform_points(xyzp, rel).astype(np.float32), num_points)
+        ph, nh = fit(transform_points(xyzp, rel).astype(np.float32))
         vh = np.zeros(num_points, bool)
         vh[:nh] = ~data["gm_prev"][:nh]
         out["pc_hist"] = ph
         out["valid_hist"] = vh
+    return out
+
+
+def stack_fleet_batch(frames: List[Dict], num_points: int) -> Dict:
+    """Stack per-frame dicts into batch arrays; float32 keys go through the
+    native threaded packer when the frames were built with
+    ``defer_pack=True`` (raw arrays), numpy otherwise."""
+    from himo_tpu import native
+
+    out = {}
+    for k in frames[0]:
+        if k in ("num_real", "num_total"):
+            continue
+        vals = [f[k] for f in frames]
+        if (
+            k in _PACK_KEYS
+            and native.available()
+            and any(len(v) != num_points for v in vals)
+        ):
+            flat = [v.reshape(len(v), -1) for v in vals]
+            packed, _ = native.pack_frames(flat, num_points)
+            out[k] = packed.reshape((len(vals), num_points) + vals[0].shape[1:])
+        else:
+            out[k] = np.stack(vals)
     return out
 
 
@@ -131,10 +169,22 @@ def run_fleet(
     q: "queue.Queue" = queue.Queue(maxsize=config.prefetch)
     stop = object()
 
+    from himo_tpu import native
+
+    defer_pack = native.available()
+
     def producer():
         buf: List[Tuple[int, Dict]] = []
         for i in range(len(dataset)):
-            buf.append((i, frame_to_arrays(dataset[i], config.num_points, with_history)))
+            buf.append(
+                (
+                    i,
+                    frame_to_arrays(
+                        dataset[i], config.num_points, with_history,
+                        defer_pack=defer_pack,
+                    ),
+                )
+            )
             if len(buf) == per_step:
                 q.put(buf)
                 buf = []
@@ -155,11 +205,7 @@ def run_fleet(
         if item is stop:
             break
         indices = [i for i, _ in item]
-        stacked = {
-            k: np.stack([f[k] for _, f in item])
-            for k in item[0][1]
-            if k not in ("num_real", "num_total")
-        }
+        stacked = stack_fleet_batch([f for _, f in item], config.num_points)
         outputs = step(params, shard_batch(mesh, stacked))
         if consumer is not None:
             outputs = jax.device_get(outputs)

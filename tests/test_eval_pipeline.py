@@ -86,3 +86,41 @@ def test_velocity_bucketing(synthetic_dataset, tmp_path, monkeypatch):
     other = metrics.category_summary("OTHER_VEHICLES")
     # The truck moves at 15 m/s -> 10-20 bucket.
     assert other["velocity"]["10-20"]["num_obj"] > 0
+
+
+def test_distance_bucket_strict_parity_quirk():
+    """Pin the DELIBERATE deviation from the reference's eval.py:94: distance
+    buckets use the xyz norm by default; ``strict_parity=True`` reproduces
+    the reference's norm over ALL pc columns (including intensity)."""
+    import numpy as np
+
+    from himo_tpu.core.categories import CATEGORY_TO_INDEX
+    from himo_tpu.eval.instance_metrics import InstanceMetrics
+
+    n = 20
+    rng = np.random.default_rng(0)
+    # Instance at xyz distance ~9 m with intensity 40: xyz-norm buckets it
+    # 0-10; the reference 4-column norm says sqrt(9^2 + 40^2) ~ 41 -> 30+.
+    xyz = rng.normal(scale=0.2, size=(n, 3)).astype(np.float32) + [9.0, 0, 0]
+    pc = np.concatenate([xyz, np.full((n, 1), 40.0, np.float32)], axis=1)
+    gt_flow = np.tile(np.float32([0.5, 0.0, 0.0]), (n, 1))  # 5 m/s
+    dt0 = np.full(n, 0.05, np.float32)
+    cats = np.full(n, CATEGORY_TO_INDEX["REGULAR_VEHICLE"], np.int32)
+    inst = np.ones(n, np.int32)
+
+    def run(strict):
+        m = InstanceMetrics("av2", strict_parity=strict)
+        m.step(
+            pc=pc if strict else pc[:, :3],
+            gt_flow=gt_flow,
+            dt0=dt0,
+            category_indices=cats,
+            instance_ids=inst,
+            est_flow=np.zeros_like(gt_flow),
+        )
+        return m.category_summary("CAR")["distance"]
+
+    default = run(False)
+    strict = run(True)
+    assert default["0-10"]["num_obj"] == 1 and default["30+"]["num_obj"] == 0
+    assert strict["0-10"]["num_obj"] == 0 and strict["30+"]["num_obj"] == 1

@@ -61,3 +61,41 @@ def test_dryrun_multichip_driver_condition():
     )
     assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     assert "dryrun_multichip(8)" in out.stdout and "OK" in out.stdout
+
+
+def test_dryrun_multichip_interpret_pallas():
+    """Interpret-mode variant: the sharded train step runs with the Pallas
+    scatter/gather kernels (interpreted) instead of the XLA fallback, so the
+    custom_vmap + NamedSharding + banded-kernel interaction is covered on
+    the 8-device virtual mesh (round-2 review weak #5)."""
+    import os
+    import subprocess
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = dict(os.environ)
+    flags = [
+        f
+        for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ]
+    flags.append("--xla_force_host_platform_device_count=8")
+    env["XLA_FLAGS"] = " ".join(flags)
+    env.pop("_HIMO_DRYRUN_SUBPROC", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import __graft_entry__\n"
+        "from himo_tpu.ops import voxelize\n"
+        "__graft_entry__.dryrun_multichip(8, interpret=True)\n"
+        "assert voxelize._interpret(), 'interpret flag must be live'\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "dryrun_multichip(8)" in out.stdout and "OK" in out.stdout
