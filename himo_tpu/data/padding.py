@@ -16,13 +16,22 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 
-# Default buckets cover demo scenes up to dense multi-LiDAR Scania superframes.
+# Default buckets cover demo scenes up to dense multi-LiDAR Scania
+# superframes. 1.5x intermediate steps bound the padding waste at 33%
+# (pure powers of two cost up to 2x, which the quadratic-NN optimization
+# estimators pay SQUARED — an 18k cloud in a 32k bucket ran its chamfer
+# 3.2x too slow); each bucket is still a one-time compile.
 DEFAULT_BUCKETS: Tuple[int, ...] = (
     8192,
+    12288,
     16384,
+    24576,
     32768,
+    49152,
     65536,
+    98304,
     131072,
+    196608,
     262144,
 )
 

@@ -47,7 +47,7 @@ class FastNSFConfig:
     prior_threshold: float = 0.18
     prior_eps: float = 1.0
     prior_min_samples: int = 5
-    prior_match_gate: float = 4.5
+    prior_match_gate: float = 6.0
     prior_min_norm: float = 1.0
 
 

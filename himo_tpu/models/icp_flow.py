@@ -42,7 +42,7 @@ class ICPFlowConfig:
     # gated at ``match_gate`` meters = ~45 m/s at 10 Hz), and (b) the
     # correspondence gate anneals from ``coarse_corr_dist`` down to
     # ``max_corr_dist`` over the ICP iterations.
-    match_gate: float = 4.5
+    match_gate: float = 6.0
     coarse_corr_dist: float = 4.0
 
 
@@ -151,6 +151,7 @@ def match_cluster_translations(
     max_clusters: int,
     match_gate: float,
     verify_tol: float = 0.45,
+    spacing_factor: float = 1.75,
 ):
     """Translation seeds from VERIFIED 1-1 cluster matching.
 
@@ -162,11 +163,14 @@ def match_cluster_translations(
     two same-model vehicles apart (measured on the benchmark: a wrong car-to-
     car match scored median 0.30 while its two-sided mean was 1.25 vs ~0.25
     for every true pair — full-coverage residuals expose the differing
-    rolling-shutter smears). Pairs are accepted greedily by ascending error,
-    each side used once, rejecting anything above ``verify_tol``. This is the
-    fast-object initialization role of ICP-Flow's histogram translation
-    search — objects moving beyond the ICP correspondence gate start inside
-    it.
+    rolling-shutter smears). The acceptance tolerance is DENSITY-AWARE:
+    ``max(verify_tol, spacing_factor * median intra-cluster NN spacing)`` —
+    a correct alignment can never score below the cluster's own sampling
+    granularity, so sparse clusters at range keep their (true) matches while
+    dense wrong-object pairs stay rejected. Pairs are accepted greedily by
+    ascending error, each side used once. This is the fast-object
+    initialization role of ICP-Flow's histogram translation search — objects
+    moving beyond the ICP correspondence gate start inside it.
 
     Returns ((max_clusters, 3) float32 seeds, (max_clusters,) bool matched).
     """
@@ -182,6 +186,15 @@ def match_cluster_translations(
     cents0 = np.stack([p.mean(0) for p in pts0])
     cents1 = np.stack([p.mean(0) for p in pts1])
     d = np.linalg.norm(cents0[:, None] - cents1[None, :], axis=-1)  # (n0, n1)
+
+    def self_spacing(pts):
+        # Odd/even split (scan order is spatially sequential, so the halves
+        # interleave) — the median cross distance estimates point spacing.
+        if len(pts) < 4:
+            return np.inf
+        return float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
+
+    spacing1 = [self_spacing(p) for p in pts1]
 
     candidates = []  # (alignment_error, i, j, delta)
     for i in range(n0):
@@ -199,7 +212,8 @@ def match_cluster_translations(
             fwd = nn_residual_distances(shifted, pts1[j])
             bwd = nn_residual_distances(pts1[j], shifted)
             err = float(max(fwd.mean(), bwd.mean()))
-            if err <= verify_tol:
+            tol = max(verify_tol, spacing_factor * spacing1[j])
+            if err <= tol:
                 candidates.append((err, i, j, delta))
     candidates.sort(key=lambda c: c[0])
     used0, used1 = set(), set()

@@ -50,11 +50,15 @@ class NSFPConfig:
     # start INSIDE the truncation radius and per-frame convergence needs far
     # fewer iterations (measured: 15 m/s objects at 500 iters go EPE
     # 1.12 -> ~0.1 with the seed). False = classic cold start.
+    # k-NN smoothed chamfer (ops/knn.py): average the k nearest distances
+    # instead of the single NN — smooths the loss over sampling noise.
+    # 0 = classic single-NN chamfer.
+    knn_k: int = 0
     cluster_prior: bool = True
     prior_threshold: float = 0.18
     prior_eps: float = 1.0  # looser than the label DBSCAN: sparse objects at
     prior_min_samples: int = 5  # range fragment, and fragments mis-match
-    prior_match_gate: float = 4.5
+    prior_match_gate: float = 6.0
     prior_min_norm: float = 1.0  # seed only where chamfer can't reach
 
 
@@ -83,8 +87,16 @@ def nsfp_flow(
         return base + apply_mlp(p, pc0[:, :3])
 
     def loss_fn(p, cap=config.max_dist):
+        warped = pc0[:, :3] + total_flow(p)
+        if config.knn_k > 0:
+            from himo_tpu.ops.knn import knn_smoothed_chamfer
+
+            return knn_smoothed_chamfer(
+                warped, pc1[:, :3], k=config.knn_k,
+                valid1=valid0, valid2=valid1, max_dist=cap,
+            )
         return truncated_chamfer(
-            pc0[:, :3] + total_flow(p),
+            warped,
             pc1[:, :3],
             valid1=valid0,
             valid2=valid1,

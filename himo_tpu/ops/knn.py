@@ -1,0 +1,196 @@
+"""Streaming k-nearest-neighbor distances (small k) — Pallas on TPU.
+
+Extends the min-only streaming kernel of :mod:`himo_tpu.ops.nn` to the
+k-smallest squared distances per query (the CUDA KNN role inside the
+reference's absent OpenSceneFlow submodule, SURVEY §2.9 — richer SSL/ICP
+losses consume multi-neighbor distances).
+
+Mechanics: each (query-tile, reference-tile) grid step computes the same
+MXU distance block as the NN kernel, extracts its k smallest entries per row
+by k repeated (min, mask-out) passes on the VPU, then merges them into the
+running per-query k-best buffer with another k selection passes over the 2k
+candidate columns. Cost ≈ the NN kernel + 2k VPU passes per block — for
+k<=8 the MXU dot still dominates at production tile sizes.
+
+Distances only (no indices): the loss consumers (smoothed chamfer,
+neighbor-consistency terms) need the k distances, and index tracking would
+triple the fold state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from himo_tpu.ops.nn import _K, _QT, _RT, _on_tpu, _pad_coords
+
+_INF = 3.0e38
+
+
+def _block_k_smallest(d2: jax.Array, k: int) -> jax.Array:
+    """(QT, RT) -> (QT, k) smallest entries per row, ascending.
+
+    k passes of (row-min, mask-every-tie-out). Ties collapse to one slot per
+    pass — for distance losses that is the right semantics anyway (duplicate
+    reference points contribute once per pass)."""
+    cols = []
+    cur = d2
+    for _ in range(k):
+        m = jnp.min(cur, axis=1)
+        cols.append(m)
+        cur = jnp.where(cur <= m[:, None], _INF, cur)
+    return jnp.stack(cols, axis=1)
+
+
+def _knn_kernel(k: int):
+    def kernel(q_ref, r_ref, o_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        q = q_ref[:]
+        r = r_ref[:]
+        dot = jax.lax.dot_general(
+            q,
+            r,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        qn = jnp.sum(q * q, axis=1, keepdims=True)
+        rn = jnp.sum(r * r, axis=1)[None, :]
+        d2 = qn + rn - 2.0 * dot  # (QT, RT)
+        block = _block_k_smallest(d2, k)  # (QT, k)
+
+        @pl.when(j == 0)
+        def _():
+            o_ref[i, :, :] = block
+
+        @pl.when(j > 0)
+        def _():
+            merged = jnp.concatenate([o_ref[i, :, :], block], axis=1)
+            o_ref[i, :, :] = _block_k_smallest(merged, k)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_padded(q: jax.Array, r: jax.Array, k: int):
+    nq, nr = q.shape[0], r.shape[0]
+    grid = (nq // _QT, nr // _RT)
+    out = pl.pallas_call(
+        _knn_kernel(k),
+        out_shape=jax.ShapeDtypeStruct((grid[0], _QT, k), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((_QT, _K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((_RT, _K), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (nq // _QT, _QT, k), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nq * nr * _K,
+            bytes_accessed=4 * (nq * _K + nr * _K + nq * k),
+            transcendentals=0,
+        ),
+    )(q, r)
+    return out.reshape(-1, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_xla(q: jax.Array, r: jax.Array, k: int):
+    """Streaming XLA fallback: lax.top_k per reference tile, merged."""
+    r_tiles = r.reshape(-1, _RT, _K)
+
+    def per_query_tile(q_tile):
+        qn = jnp.sum(q_tile * q_tile, axis=1, keepdims=True)
+
+        def fold(best, r_tile):
+            dot = jax.lax.dot_general(
+                q_tile,
+                r_tile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            rn = jnp.sum(r_tile * r_tile, axis=1)[None, :]
+            d2 = qn + rn - 2.0 * dot
+            tile_k = -jax.lax.top_k(-d2, k)[0]  # (QT, k) ascending
+            merged = jnp.concatenate([best, tile_k], axis=1)
+            return -jax.lax.top_k(-merged, k)[0], None
+
+        init = jnp.full((q_tile.shape[0], k), _INF, jnp.float32)
+        out, _ = jax.lax.scan(fold, init, r_tiles)
+        return out
+
+    q_tiles = q.reshape(-1, _QT, _K)
+    return jax.lax.map(per_query_tile, q_tiles).reshape(-1, k)
+
+
+def knn_distance_sq(
+    query: jax.Array,
+    ref: jax.Array,
+    k: int,
+    query_valid: jax.Array | None = None,
+    ref_valid: jax.Array | None = None,
+) -> jax.Array:
+    """(N, k) smallest squared distances to the reference cloud, ascending.
+
+    Tie semantics differ slightly from a true top-k: duplicate reference
+    points at EXACTLY equal distance collapse into one slot per selection
+    pass on the Pallas path. Invalid refs never win; invalid queries get 0.
+    Not differentiable (loss consumers wrap it in stop-gradient terms or use
+    the k=1 custom-VJP path of ops.nn)."""
+    n = query.shape[0]
+    q = _pad_coords(query, _QT, query_valid)
+    r = _pad_coords(ref, _RT, ref_valid)
+    if _on_tpu():
+        d2 = _knn_padded(q, r, k)
+    else:
+        d2 = _knn_xla(q, r, k)
+    d2 = jnp.maximum(d2[:n], 0.0)
+    if query_valid is not None:
+        d2 = jnp.where(query_valid[:, None], d2, 0.0)
+    return d2
+
+
+def knn_smoothed_chamfer(
+    pc1: jax.Array,
+    pc2: jax.Array,
+    k: int = 4,
+    valid1: jax.Array | None = None,
+    valid2: jax.Array | None = None,
+    max_dist: float = 2.0,
+) -> jax.Array:
+    """Truncated symmetric chamfer over the mean of the k nearest neighbors.
+
+    Averaging k neighbors smooths the loss surface over sampling noise (a
+    single-NN chamfer locks onto one point per query; under resampling the
+    minimizer jitters by the point spacing). Non-differentiable through the
+    neighbor SELECTION but the distance VALUES carry gradients via the k=1
+    identity trick: d2_knn = stop_grad(d2_knn - d2_nn) + d2_nn keeps the
+    backward exact for the nearest neighbor while the extra neighbors shape
+    the forward value.
+    """
+    from himo_tpu.ops.nn import nn_distance_sq
+
+    cap = max_dist * max_dist
+
+    def one_side(a, b, va, vb):
+        dk = jax.lax.stop_gradient(
+            jnp.mean(jnp.minimum(knn_distance_sq(a, b, k, va, vb), cap), axis=1)
+        )
+        d1 = jnp.minimum(nn_distance_sq(a, b, va, vb), cap)
+        d = dk - jax.lax.stop_gradient(d1) + d1  # value: k-mean, grad: k=1
+        if va is None:
+            return jnp.mean(d)
+        return jnp.sum(jnp.where(va, d, 0.0)) / jnp.maximum(
+            jnp.sum(va.astype(d.dtype)), 1.0
+        )
+
+    return one_side(pc1, pc2, valid1, valid2) + one_side(pc2, pc1, valid2, valid1)

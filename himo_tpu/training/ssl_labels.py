@@ -111,7 +111,7 @@ def translation_priors(
     eps: float = 0.6,
     min_samples: int = 8,
     max_clusters: int = 63,
-    match_gate: float = 4.5,
+    match_gate: float = 6.0,
     min_norm: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-point translation priors for fast objects.
