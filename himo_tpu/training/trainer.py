@@ -45,8 +45,10 @@ class TrainConfig:
     step_lr_gamma: float = 0.5
     # Conditioning (himo_tpu additions to the reference recipe — measured to
     # matter in the few-step regime; reference-parity run: warmup_steps=0,
-    # grad_clip=0):
-    warmup_steps: int = 100  # linear lr warmup from 0
+    # grad_clip=0). Warmup is CAPPED at 10% of the run so short runs aren't
+    # spent entirely on the ramp (a 96-step 12-epoch run with warmup=100
+    # never reached the target lr and still had to converge).
+    warmup_steps: int = 100  # linear lr warmup from 0 (capped at run/10)
     grad_clip: float = 2.0  # global-norm clip, 0 = off
     num_points: int = 65536  # fixed per-frame point budget
     loss_points: int = 16384  # chamfer-term sample size (0 = full cloud)
@@ -354,9 +356,11 @@ def make_optimizer(config: TrainConfig, steps_per_epoch: int):
     for e in range(config.step_lr_epochs, config.epochs, config.step_lr_epochs):
         boundaries[e * max(steps_per_epoch, 1)] = config.step_lr_gamma
     step_lr = optax.piecewise_constant_schedule(config.lr, boundaries)
-    if config.warmup_steps > 0:
-        warmup = optax.linear_schedule(0.0, config.lr, config.warmup_steps)
-        schedule = optax.join_schedules([warmup, step_lr], [config.warmup_steps])
+    total_steps = max(steps_per_epoch, 1) * config.epochs
+    warmup_steps = min(config.warmup_steps, max(total_steps // 10, 1))
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, config.lr, warmup_steps)
+        schedule = optax.join_schedules([warmup, step_lr], [warmup_steps])
     else:
         schedule = step_lr
     opt = optax.adam(schedule)
