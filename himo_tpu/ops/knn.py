@@ -76,12 +76,13 @@ def _knn_kernel(k: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def _knn_padded(q: jax.Array, r: jax.Array, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def _knn_padded(q: jax.Array, r: jax.Array, k: int, interpret: bool = False):
     nq, nr = q.shape[0], r.shape[0]
     grid = (nq // _QT, nr // _RT)
     out = pl.pallas_call(
         _knn_kernel(k),
+        interpret=interpret,
         out_shape=jax.ShapeDtypeStruct((grid[0], _QT, k), jnp.float32),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -146,11 +147,13 @@ def knn_distance_sq(
     pass on the Pallas path. Invalid refs never win; invalid queries get 0.
     Not differentiable (loss consumers wrap it in stop-gradient terms or use
     the k=1 custom-VJP path of ops.nn)."""
+    from himo_tpu.ops.voxelize import _interpret
+
     n = query.shape[0]
     q = _pad_coords(query, _QT, query_valid)
     r = _pad_coords(ref, _RT, ref_valid)
-    if _on_tpu():
-        d2 = _knn_padded(q, r, k)
+    if _on_tpu() or _interpret():
+        d2 = _knn_padded(q, r, k, _interpret())
     else:
         d2 = _knn_xla(q, r, k)
     d2 = jnp.maximum(d2[:n], 0.0)
