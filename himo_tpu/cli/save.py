@@ -30,6 +30,7 @@ def main(
     fleet: bool = False,
     batch_per_device: int = 1,
     num_points: int = 65536,
+    static_gate: float = 0.0,  # zero sub-threshold residual flow (m/frame)
     **overrides,
 ):
     if fleet:
@@ -44,7 +45,9 @@ def main(
             checkpoint=checkpoint or None,
             output_key=output_key or None,
             config=FleetConfig(
-                num_points=num_points, batch_per_device=batch_per_device
+                num_points=num_points,
+                batch_per_device=batch_per_device,
+                static_gate=static_gate,
             ),
             model_overrides=overrides or None,
         )

@@ -40,19 +40,34 @@ class FlowNetConfig:
     gru_iters: int = 4
     num_frames: int = 2
     dtype: str = "float32"  # 'bfloat16' for inference/training speed
+    # Prior-conditioned variant: feed the verified cluster translation prior
+    # (training/ssl_labels.translation_priors) as 3 extra PFN channels for
+    # sweep 0 — fast objects beyond the chamfer radius arrive pre-localized,
+    # and the prior_flow_loss makes copying a good prior the easy solution.
+    prior_feat: bool = False
 
 
 class PointFeatureNet(nn.Module):
-    """Per-point embedding before pillar pooling (PFN-lite)."""
+    """Per-point embedding before pillar pooling (PFN-lite).
+
+    ``extra`` optionally appends conditioning channels — the
+    prior-conditioned SeFlow++ variant feeds the verified cluster
+    translation prior here (sweep 0 only; other sweeps pass zeros)."""
 
     dim: int
     dtype: jnp.dtype
+    extra_dim: int = 0
 
     @nn.compact
-    def __call__(self, points, offsets):
+    def __call__(self, points, offsets, extra=None):
         # features: xyz, offset-to-pillar-center, radial distance
         r = jnp.linalg.norm(points[:, :2], axis=1, keepdims=True)
-        x = jnp.concatenate([points[:, :3], offsets, r], axis=1).astype(self.dtype)
+        cols = [points[:, :3], offsets, r]
+        if self.extra_dim:
+            if extra is None:
+                extra = jnp.zeros((points.shape[0], self.extra_dim), self.dtype)
+            cols.append(extra)
+        x = jnp.concatenate(cols, axis=1).astype(self.dtype)
         x = nn.Dense(self.dim, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Dense(self.dim, dtype=self.dtype)(x)
@@ -142,23 +157,30 @@ class SceneFlowNet(nn.Module):
     config: FlowNetConfig
 
     @nn.compact
-    def __call__(self, sweeps, valids):
+    def __call__(self, sweeps, valids, prior=None):
         """
         Args:
             sweeps: tuple of (N_i, 3) clouds — (pc0_comp, pc1[, pc_hist]);
                 flow is predicted for sweeps[0].
             valids: matching validity masks.
+            prior: optional (N_0, 3) translation prior for sweep 0
+                (``config.prior_feat`` — zeros when absent).
         """
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
-        pfn = PointFeatureNet(cfg.point_feat_dim, dtype)
+        pfn = PointFeatureNet(
+            cfg.point_feat_dim, dtype, extra_dim=3 if cfg.prior_feat else 0
+        )
 
         images = []
         grids = []
         feats = []
-        for pc, valid in zip(sweeps, valids):
+        for idx, (pc, valid) in enumerate(zip(sweeps, valids)):
             grid = voxelize_pillars(pc, valid, cfg.pillar)
-            f = pfn(pc, grid.centers_offset)
+            extra = None
+            if cfg.prior_feat and idx == 0 and prior is not None:
+                extra = prior.astype(dtype)
+            f = pfn(pc, grid.centers_offset, extra)
             f = jnp.where(grid.in_range[:, None], f, 0.0)
             images.append(scatter_max(f, grid))
             grids.append(grid)
@@ -189,6 +211,9 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         "deflowpp": dict(decoder="deflow", num_frames=3),
         "seflowpp": dict(decoder="deflow", num_frames=3),
         "seflow": dict(decoder="deflow", num_frames=2),
+        # himo_tpu extension: SeFlow++ conditioned on the verified cluster
+        # translation prior (3 extra PFN channels on sweep 0).
+        "seflowpp_prior": dict(decoder="deflow", num_frames=3, prior_feat=True),
     }
     if name not in presets:
         raise KeyError(f"unknown feed-forward model {name!r}")
@@ -202,7 +227,8 @@ def init_params(model: SceneFlowNet, key, num_points: int = 1024):
     n_sweeps = model.config.num_frames
     sweeps = tuple(jnp.zeros((num_points, 3)) for _ in range(n_sweeps))
     valids = tuple(jnp.ones((num_points,), bool) for _ in range(n_sweeps))
-    return model.init(key, sweeps, valids)
+    prior = jnp.zeros((num_points, 3)) if model.config.prior_feat else None
+    return model.init(key, sweeps, valids, prior)
 
 
 def _feedforward_estimator(name: str):
@@ -221,7 +247,7 @@ def _feedforward_estimator(name: str):
             params = load_checkpoint(checkpoint)["params"]
 
         @jax.jit
-        def _estimate(pc0, pc1, valid0, valid1, key=None, history=None):
+        def _estimate(pc0, pc1, valid0, valid1, key=None, history=None, prior=None):
             sweeps = [pc0[:, :3], pc1[:, :3]]
             valids = [valid0, valid1]
             if config.num_frames >= 3:
@@ -231,11 +257,16 @@ def _feedforward_estimator(name: str):
                 else:
                     sweeps.append(history[0][:, :3])
                     valids.append(history[1])
-            flow = model.apply(params, tuple(sweeps), tuple(valids))
+            flow = model.apply(params, tuple(sweeps), tuple(valids), prior)
             return flow, jnp.zeros(())
 
         def estimate(pc0, pc1, valid0, valid1, key=None, history=None):
-            return _estimate(pc0, pc1, valid0, valid1, key, history)
+            prior = None
+            if config.prior_feat:
+                from himo_tpu.models.nsfp import cluster_prior_flow
+
+                prior = cluster_prior_flow(pc0, pc1, valid0, valid1)
+            return _estimate(pc0, pc1, valid0, valid1, key, history, prior)
 
         # Let callers (models/runner.py) know how many sweeps to feed.
         estimate.num_frames = config.num_frames
@@ -244,5 +275,7 @@ def _feedforward_estimator(name: str):
     return factory
 
 
-for _name in ("fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp"):
+for _name in (
+    "fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp", "seflowpp_prior"
+):
     register_estimator(_name)(_feedforward_estimator(_name))

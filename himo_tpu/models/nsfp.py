@@ -124,12 +124,24 @@ def nsfp_flow(
     return flow, best_loss
 
 
-def cluster_prior_flow(pc0, pc1, valid0, valid1, config) -> "jnp.ndarray":
+def cluster_prior_flow(
+    pc0,
+    pc1,
+    valid0,
+    valid1,
+    config=None,
+    threshold: float = 0.18,
+    eps: float = 1.0,
+    min_samples: int = 5,
+    match_gate: float = 6.0,
+    min_norm: float = 1.0,
+) -> "jnp.ndarray":
     """Host-side translation-prior field for seeding the optimization.
 
     DBSCAN clusters the dynamic points of both (ego-compensated) sweeps and
     spreads matched-centroid deltas over each pc0 cluster
-    (training/ssl_labels.translation_priors)."""
+    (training/ssl_labels.translation_priors). ``config`` (an NSFP/FastNSF
+    config) overrides the keyword defaults."""
     import numpy as np
 
     from himo_tpu.training.ssl_labels import (
@@ -138,6 +150,13 @@ def cluster_prior_flow(pc0, pc1, valid0, valid1, config) -> "jnp.ndarray":
         translation_priors,
     )
 
+    if config is not None:
+        threshold = config.prior_threshold
+        eps = config.prior_eps
+        min_samples = config.prior_min_samples
+        match_gate = config.prior_match_gate
+        min_norm = config.prior_min_norm
+
     p0 = np.asarray(pc0)[:, :3].astype(np.float32)
     p1 = np.asarray(pc1)[:, :3].astype(np.float32)
     v0 = np.asarray(valid0, bool)
@@ -145,18 +164,13 @@ def cluster_prior_flow(pc0, pc1, valid0, valid1, config) -> "jnp.ndarray":
     if not v0.any() or not v1.any():
         return jnp.zeros_like(jnp.asarray(p0))
     dyn0 = np.zeros(len(p0), bool)
-    dyn0[v0] = dynamic_mask_from_nn(p0[v0], p1[v1], config.prior_threshold)
-    labels0 = cluster_dynamic_points(
-        p0, dyn0, eps=config.prior_eps,
-        min_samples=config.prior_min_samples,
-    )
+    dyn0[v0] = dynamic_mask_from_nn(p0[v0], p1[v1], threshold)
+    labels0 = cluster_dynamic_points(p0, dyn0, eps=eps, min_samples=min_samples)
     dyn1 = np.zeros(len(p1), bool)
-    dyn1[v1] = dynamic_mask_from_nn(p1[v1], p0[v0], config.prior_threshold)
+    dyn1[v1] = dynamic_mask_from_nn(p1[v1], p0[v0], threshold)
     prior, _ = translation_priors(
-        p0, labels0, p1, dyn1, eps=config.prior_eps,
-        min_samples=config.prior_min_samples,
-        match_gate=config.prior_match_gate,
-        min_norm=config.prior_min_norm,
+        p0, labels0, p1, dyn1, eps=eps, min_samples=min_samples,
+        match_gate=match_gate, min_norm=min_norm,
     )
     return jnp.asarray(prior)
 

@@ -236,7 +236,12 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
     if num_frames >= 3:
         sweeps.append(b["pc_hist"])
         valids.append(b["valid_hist"])
-    flow = model.apply(params, tuple(sweeps), tuple(valids))
+    prior_in = (
+        jnp.where(b["prior_valid0"][:, None], b["prior0"], 0.0)
+        if getattr(model.config, "prior_feat", False) and "prior0" in b
+        else None
+    )
+    flow = model.apply(params, tuple(sweeps), tuple(valids), prior_in)
     dynamic1 = b.get("dynamic1", b["valid1"])
     common = dict(
         num_clusters=config.num_clusters,

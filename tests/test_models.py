@@ -212,3 +212,52 @@ def test_run_adam_early_stop_and_cosine():
         loss_fn, p0, iterations=500, lr=0.1, schedule="cosine", patience=50
     )
     assert float(loss_cos) < 1e-2
+
+
+class TestPriorConditioned:
+    def test_forward_and_prior_sensitivity(self, rng):
+        """seflowpp_prior consumes the prior channel: same inputs with a
+        different prior must change the flow (the conditioning is live)."""
+        from himo_tpu.models.feedforward import init_params, make_model
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        model, config = make_model(
+            "seflowpp_prior",
+            pillar=PillarConfig(
+                x_range=(-12.8, 12.8), y_range=(-12.8, 12.8), voxel_size=(0.4, 0.4)
+            ),
+            depths=(16, 32),
+        )
+        assert config.prior_feat
+        params = init_params(model, jax.random.PRNGKey(0), num_points=512)
+        sweeps = tuple(
+            jnp.asarray(rng.uniform(-10, 10, size=(512, 3)), jnp.float32)
+            for _ in range(3)
+        )
+        valids = tuple(jnp.ones((512,), bool) for _ in range(3))
+        f_zero = np.asarray(model.apply(params, sweeps, valids, None))
+        prior = jnp.asarray(
+            np.tile(np.float32([3.0, 0, 0]), (512, 1))
+        )
+        f_prior = np.asarray(model.apply(params, sweeps, valids, prior))
+        assert f_zero.shape == (512, 3)
+        assert np.abs(f_prior - f_zero).max() > 1e-4
+
+    def test_registry_prior_estimator(self, rng):
+        """The registry wrapper computes priors host-side and runs."""
+        from himo_tpu.models.feedforward import init_params, make_model
+        from himo_tpu.models.registry import get_estimator
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        pillar = PillarConfig(
+            x_range=(-12.8, 12.8), y_range=(-12.8, 12.8), voxel_size=(0.4, 0.4)
+        )
+        model, config = make_model("seflowpp_prior", pillar=pillar, depths=(16, 32))
+        params = init_params(model, jax.random.PRNGKey(0), num_points=256)
+        est = get_estimator(
+            "seflowpp_prior", params=params, pillar=pillar, depths=(16, 32)
+        )
+        pc = rng.uniform(-10, 10, size=(256, 3)).astype(np.float32)
+        valid = np.ones(256, bool)
+        flow, _ = est(pc, pc + 0.1, valid, valid)
+        assert np.asarray(flow).shape == (256, 3)
