@@ -126,7 +126,6 @@ def _refine_translation(
     ``trim_pct`` percent of pairs (coverage mismatch between the frames'
     clusters otherwise biases the step), and moves by their mean residual
     vector."""
-    from himo_tpu.training.ssl_labels import nn_residual_distances  # noqa: F401
     from himo_tpu import native
 
     if native.available():
