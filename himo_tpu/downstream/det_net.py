@@ -337,9 +337,12 @@ def evaluate_detection_learned(
     ious = []
     for i in range(len(dataset)):
         data = dataset[i]
-        frame = prepare_frame(data, name, res_name=flow_mode)
+        # ``gt`` de-skews with the GT motion flow (upper-bound control).
+        res = None if flow_mode == "gt" else flow_mode
+        frame = prepare_frame(data, name, res_name=res)
         pts = frame["xyz"]
-        comp = (frame["est_flow"] / 0.1) * frame["dt0"][:, None]
+        motion = frame["gt_flow"] if flow_mode == "gt" else frame["est_flow"]
+        comp = (motion / 0.1) * frame["dt0"][:, None]
         det_pts = pts + comp
         gt_comp = (frame["gt_flow"] / 0.1) * frame["dt0"][:, None]
         gt_pts = pts + gt_comp

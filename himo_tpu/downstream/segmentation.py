@@ -187,13 +187,22 @@ def segment_dataset(
     written = 0
     for i in it:
         data = dataset[i]
-        frame = prepare_frame(
-            data, _dataset_name(data_dir), res_name=flow_mode
-        )
+        # ``gt`` de-skews with the GT motion flow (the on-distribution upper
+        # bound for deskew_gt-trained nets); frames without the stored flow
+        # key (each scene's last sweep has no successor) fall back to raw.
+        res = flow_mode
+        if flow_mode == "gt" or (flow_mode != "raw" and flow_mode not in data):
+            res = None
+        frame = prepare_frame(data, _dataset_name(data_dir), res_name=res)
         pts = frame["xyz"]
-        if flow_mode != "raw":
+        motion = None
+        if flow_mode == "gt":
+            motion = frame["gt_flow"]
+        elif res is not None and flow_mode != "raw":
+            motion = frame["est_flow"]
+        if motion is not None:
             # De-skew before segmenting — the HiMo downstream hypothesis.
-            comp = (frame["est_flow"] / sensor_dt) * frame["dt0"][:, None]
+            comp = (motion / sensor_dt) * frame["dt0"][:, None]
             pts = pts + comp
         n = len(pts)
         padded = np.zeros((num_points, 3), np.float32)

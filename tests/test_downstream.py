@@ -64,6 +64,58 @@ def test_seg_pipeline_end_to_end(seg_dataset):
     assert car_iou + other_iou > 0.1
 
 
+def test_seg_gt_mode_and_missing_flow_fallback(seg_dataset):
+    """flow_mode='gt' de-skews with the GT motion flow; a flow_mode whose h5
+    key exists on NO frame falls back to raw for every frame (each scene's
+    last sweep never has a stored flow — the save path skips it)."""
+    import jax
+
+    from himo_tpu.downstream.segmentation import (
+        init_seg_params,
+        make_seg_model,
+        segment_dataset,
+    )
+
+    model, _ = make_seg_model(
+        pillar=SMALL_PILLAR, depths=(16, 32), point_feat_dim=8, base_channels=8
+    )
+    params = init_seg_params(model, jax.random.PRNGKey(0), 2048)
+    n = segment_dataset(
+        str(seg_dataset), model, params, flow_mode="gt", num_points=2048,
+        verbose=False,
+    )
+    assert n > 0
+    # No 'nosuchflow' key exists anywhere: every frame must fall back to raw
+    # instead of raising KeyError.
+    n = segment_dataset(
+        str(seg_dataset), model, params, flow_mode="nosuchflow",
+        num_points=2048, verbose=False,
+    )
+    assert n > 0
+
+
+def test_det_learned_gt_mode(seg_dataset):
+    """evaluate_detection_learned(flow_mode='gt') scores detection on
+    GT-compensated clouds (the upper-bound control) without a stored key."""
+    import jax
+
+    from himo_tpu.downstream.det_net import (
+        evaluate_detection_learned,
+        init_det_params,
+        make_det_model,
+    )
+
+    model, _ = make_det_model(
+        pillar=SMALL_PILLAR, depths=(16, 32), point_feat_dim=8, base_channels=8
+    )
+    params = init_det_params(model, jax.random.PRNGKey(0), 2048)
+    r = evaluate_detection_learned(
+        str(seg_dataset), model, params, flow_mode="gt", num_points=2048,
+        verbose=False,
+    )
+    assert set(r) >= {"precision", "recall", "f1"}
+
+
 def test_seg_training_deskew_gt_runs(tmp_path):
     """deskew_gt=True trains on GT-undistorted clouds (the WaffleIron role)
     and produces a usable net."""
