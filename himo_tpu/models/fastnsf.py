@@ -97,13 +97,23 @@ def fastnsf_flow(
 
 @register_estimator("fastnsf")
 def make_fastnsf(**overrides):
-    config = FastNSFConfig(**overrides)
+    from himo_tpu.models.icp_flow import ClusterTracker
 
-    def estimate(pc0, pc1, valid0, valid1, key):
+    config = FastNSFConfig(**overrides)
+    trackers = {}  # per-scene velocity continuity (runner feeds frames in order)
+
+    def estimate(pc0, pc1, valid0, valid1, key, dt0=None, dt1=None,
+                 scene_id=None, pose1=None):
         from himo_tpu.models.nsfp import cluster_prior_flow
 
+        tracker = None
+        if scene_id is not None and pose1 is not None:
+            tracker = trackers.setdefault(scene_id, ClusterTracker())
         prior = (
-            cluster_prior_flow(pc0, pc1, valid0, valid1, config)
+            cluster_prior_flow(
+                pc0, pc1, valid0, valid1, config,
+                dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
+            )
             if config.cluster_prior
             else None
         )

@@ -260,12 +260,22 @@ def _feedforward_estimator(name: str):
             flow = model.apply(params, tuple(sweeps), tuple(valids), prior)
             return flow, jnp.zeros(())
 
-        def estimate(pc0, pc1, valid0, valid1, key=None, history=None):
+        trackers = {}  # per-scene velocity continuity for the prior channel
+
+        def estimate(pc0, pc1, valid0, valid1, key=None, history=None,
+                     dt0=None, dt1=None, scene_id=None, pose1=None):
             prior = None
             if config.prior_feat:
+                from himo_tpu.models.icp_flow import ClusterTracker
                 from himo_tpu.models.nsfp import cluster_prior_flow
 
-                prior = cluster_prior_flow(pc0, pc1, valid0, valid1)
+                tracker = None
+                if scene_id is not None and pose1 is not None:
+                    tracker = trackers.setdefault(scene_id, ClusterTracker())
+                prior = cluster_prior_flow(
+                    pc0, pc1, valid0, valid1,
+                    dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
+                )
             return _estimate(pc0, pc1, valid0, valid1, key, history, prior)
 
         # Let callers (models/runner.py) know how many sweeps to feed.

@@ -113,38 +113,372 @@ def icp_register_clusters(
     return jax.vmap(one)(clusters, cluster_valid, init_t)
 
 
+def _desmear(
+    pts: np.ndarray, dt, delta: np.ndarray, period: float
+) -> np.ndarray:
+    """Undo the rolling-shutter smear of a rigidly translating cluster.
+
+    A point captured ``dt`` seconds into its sweep sits ``v * dt`` ahead of
+    the cluster's sweep-start position; with ``delta = v * period`` the
+    sweep-start cloud is ``pts - delta * dt / period``. This is HiMo's own
+    compensation model (core/compensation.py) applied INSIDE the matching
+    loop: at 25 m/s the smear is 2.5 m long and translation-ICP on the raw
+    smears can slide along the motion axis (measured ~0.5 m bias on
+    verified-correct matches)."""
+    if dt is None:
+        return pts[:, :3]
+    return pts[:, :3] - np.asarray(delta, np.float32)[None, :] * (
+        np.asarray(dt, np.float32)[:, None] / period
+    )
+
+
+def _nn_query_fn(pts: np.ndarray):
+    from himo_tpu import native
+
+    if native.available():
+        return native.KDTree(pts[:, :3]).query
+    from scipy.spatial import cKDTree
+
+    tree = cKDTree(pts[:, :3])
+    return lambda q: tree.query(q, k=1)
+
+
 def _refine_translation(
     pts0: np.ndarray,
     pts1: np.ndarray,
     delta: np.ndarray,
     iters: int = 3,
     trim_pct: float = 75.0,
+    dt0=None,
+    dt1=None,
+    period: float = 0.1,
 ) -> np.ndarray:
     """Trimmed translation-only ICP refinement of a cluster-pair delta.
 
     Each round queries NNs of the shifted pts0 in pts1, keeps the closest
     ``trim_pct`` percent of pairs (coverage mismatch between the frames'
     clusters otherwise biases the step), and moves by their mean residual
-    vector."""
-    from himo_tpu import native
-
-    if native.available():
-        tree = native.KDTree(pts1[:, :3])
-        query = tree.query
-    else:
-        from scipy.spatial import cKDTree
-
-        tree = cKDTree(pts1[:, :3])
-        query = lambda q: tree.query(q, k=1)  # noqa: E731
+    vector. With per-point sweep times (``dt0``/``dt1``) both clusters are
+    DE-SMEARED with the current delta each round (see :func:`_desmear`) and
+    the update becomes a sweep-time regression: a delta wrong by ``e``
+    still finds geometric matches — but only along the slice of pairs with
+    ``dt0 - dt1 ~ period`` (the residual of a matched pair obeys
+    ``r = e * (1 - (dt0 - dt1)/period)``, so the motion smear admits a
+    CONTINUUM of (delta, correspondence) solutions and the plain mean
+    update inherits whatever slice the NN matching favored). Regressing the
+    kept residual vectors on ``dt0 - dt1`` and stepping by the intercept at
+    ``dt0 - dt1 = 0`` cancels that bias: at the true delta the trend is
+    zero and the update degrades gracefully to the mean."""
     delta = np.asarray(delta, np.float32).copy()
+    with_dt = dt0 is not None and dt1 is not None
+    if with_dt:
+        iters = max(iters, 5)  # delta also feeds the de-smear: iterate more
+        dt0 = np.asarray(dt0, np.float32)
+        dt1 = np.asarray(dt1, np.float32)
     for _ in range(iters):
-        shifted = pts0[:, :3] + delta
+        q1 = _desmear(pts1, dt1, delta, period)
+        query = _nn_query_fn(q1)
+        shifted = _desmear(pts0, dt0, delta, period) + delta
         dist, idx = query(shifted)
         keep = dist <= np.percentile(dist, trim_pct)
         if not keep.any():
             break
-        delta = delta + (pts1[idx[keep], :3] - shifted[keep]).mean(0)
+        r = q1[idx[keep]] - shifted[keep]
+        if with_dt:
+            ddt = dt0[keep] - dt1[idx[keep]]
+            ddt_c = ddt - ddt.mean()
+            var = float((ddt_c**2).mean()) + (0.02) ** 2
+            beta = (r * ddt_c[:, None]).mean(0) / var
+            delta = delta + (r.mean(0) - beta * ddt.mean())
+        else:
+            delta = delta + r.mean(0)
     return delta.astype(np.float32)
+
+
+def _trimmed_mean(d: np.ndarray, frac: float) -> float:
+    """Mean of the smallest ``frac`` fraction (coverage-mismatch between the
+    frames' clusters puts a far tail on the residuals of TRUE matches; a
+    light trim removes it without hiding a genuinely wrong alignment)."""
+    if frac >= 1.0 or len(d) < 5:
+        return float(d.mean())
+    k = max(1, int(round(frac * len(d))))
+    return float(np.partition(d, k - 1)[:k].mean())
+
+
+def _pair_alignment_error(
+    pts0: np.ndarray,
+    pts1: np.ndarray,
+    delta: np.ndarray,
+    dt0=None,
+    dt1=None,
+    period: float = 0.1,
+    trim: float = 1.0,
+) -> float:
+    """Two-sided mean NN residual of the aligned (de-smeared) cluster pair."""
+    from himo_tpu.training.ssl_labels import nn_residual_distances
+
+    shifted = _desmear(pts0, dt0, delta, period) + delta
+    q1 = _desmear(pts1, dt1, delta, period)
+    fwd = nn_residual_distances(shifted, q1)
+    bwd = nn_residual_distances(q1, shifted)
+    return float(max(_trimmed_mean(fwd, trim), _trimmed_mean(bwd, trim)))
+
+
+def _histogram_delta_candidates(
+    pts0: np.ndarray,
+    pool1: np.ndarray,
+    match_gate: float,
+    bin_size: float = 0.5,
+    max_src: int = 48,
+    top_k: int = 3,
+    dt0=None,
+    pool_dt1=None,
+    period: float = 0.1,
+) -> list:
+    """Candidate translations from a BEV offset histogram.
+
+    The role of ICP-Flow's histogram translation initialization: every
+    (pc0-cluster point, nearby pc1 dynamic point) pair votes a translation
+    hypothesis into a ``bin_size`` grid; the densest bins are hypotheses
+    that need no pc1 cluster to exist (DBSCAN may have merged or missed
+    the target object).
+
+    With sweep times the vote is SMEAR-EXACT: a same-surface pair obeys
+    ``p1 - p0 = delta * (1 + (dt1 - dt0)/period)``, so each pair votes the
+    implied ``delta = (p1 - p0) / (1 + ddt/period)`` — every same-object
+    pair then lands in the true delta's bin (the raw offset smears votes
+    over ``delta ± delta`` and large close objects drown the true peak in
+    blend bins — measured on the merged-convoy scenes). Returns up to
+    ``top_k`` (3,) float32 deltas."""
+    if len(pts0) == 0 or len(pool1) == 0:
+        return []
+    step = max(1, len(pts0) // max_src)
+    src = pts0[::step][:max_src, :3]
+    rel = pool1[None, :, :3] - src[:, None, :3]  # (n0, n1, 3)
+    if dt0 is not None and pool_dt1 is not None:
+        sdt = np.asarray(dt0, np.float32)[::step][:max_src]
+        scale = 1.0 + (
+            np.asarray(pool_dt1, np.float32)[None, :] - sdt[:, None]
+        ) / period  # (n0, n1)
+        good = scale > 0.3  # near-zero scale => unbounded implied delta
+        rel = np.where(
+            good[:, :, None], rel / np.maximum(scale, 0.3)[:, :, None], np.inf
+        )
+    rel = rel.reshape(-1, 3)
+    keep = np.isfinite(rel[:, 0]) & (
+        np.linalg.norm(rel[:, :2], axis=1) <= match_gate
+    )
+    rel = rel[keep]
+    if len(rel) == 0:
+        return []
+    ij = np.floor(rel[:, :2] / bin_size).astype(np.int64)
+    key = (ij[:, 0] + (1 << 20)) << 21 | (ij[:, 1] + (1 << 20))
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    order = np.argsort(-counts)[:top_k]
+    out = []
+    for b in order:
+        if counts[b] < 3:
+            break
+        m = inv == b
+        out.append(rel[m].mean(0).astype(np.float32))
+    return out
+
+
+class ClusterTracker:
+    """World-frame cluster tracks: velocity continuity across a scene.
+
+    Single-frame cluster matching is fundamentally ambiguous for identical
+    vehicles in formation: mapping vehicle A onto neighbor B's next-sweep
+    points is geometrically as good as the true match (same shape, same
+    smear), and the swapped delta is off by the full A-B offset (measured
+    3.4-5.3 m on the benchmark's convoy scenes). Velocity continuity breaks
+    the tie: a track carries (predicted position, per-frame delta) in WORLD
+    coordinates; at the next frame its delta re-enters the matcher as a
+    candidate with a scoring preference, so the track-consistent hypothesis
+    wins unless verification genuinely rejects it. Tracks coast unmatched
+    for ``max_coast`` frames (re-acquisition through short occlusions).
+    """
+
+    def __init__(self, max_coast: int = 2):
+        self.tracks = []  # {"pos_w": (3,), "delta_w": (3,), "age": int}
+        self.max_coast = max_coast
+
+    def predict(self, pose1: np.ndarray) -> list:
+        """Per track: (position, delta) expressed in the current frame pair's
+        pc1-ego frame (the matcher's coordinates). ``pose1`` = world <- ego1."""
+        R = np.asarray(pose1[:3, :3], np.float64)
+        t = np.asarray(pose1[:3, 3], np.float64)
+        return [
+            (
+                (R.T @ (tr["pos_w"] - t)).astype(np.float32),
+                (R.T @ tr["delta_w"]).astype(np.float32),
+            )
+            for tr in self.tracks
+        ]
+
+    def update(self, assigned: list, pose1: np.ndarray) -> None:
+        """Replace tracks with this frame's accepted matches and coast the
+        unconfirmed remainder. ``assigned`` = (centroid_ego1, delta_ego1)
+        pairs; the stored position is the PREDICTED next-frame location
+        (centroid + delta), which is what the next pair's pc0 clusters sit
+        at."""
+        R = np.asarray(pose1[:3, :3], np.float64)
+        t = np.asarray(pose1[:3, 3], np.float64)
+        new = [
+            {
+                "pos_w": R @ (np.asarray(c, np.float64) + np.asarray(d, np.float64)) + t,
+                "delta_w": R @ np.asarray(d, np.float64),
+                "age": 0,
+            }
+            for c, d in assigned
+        ]
+        for tr in self.tracks:
+            if tr["age"] + 1 > self.max_coast:
+                continue
+            pred = tr["pos_w"] + tr["delta_w"]
+            if any(np.linalg.norm(pred - n["pos_w"]) < 1.5 for n in new):
+                continue  # confirmed (or superseded) by a fresh track
+            new.append(
+                {"pos_w": pred, "delta_w": tr["delta_w"], "age": tr["age"] + 1}
+            )
+        self.tracks = new
+
+
+def _cluster_spacing(pts: np.ndarray) -> float:
+    """Median NN spacing within a cluster via an odd/even split (scan order
+    is spatially sequential, so the halves interleave)."""
+    from himo_tpu.training.ssl_labels import nn_residual_distances
+
+    if len(pts) < 4:
+        return np.inf
+    return float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
+
+
+def recover_split_translations(
+    pts0: np.ndarray,
+    pool1: np.ndarray,
+    match_gate: float,
+    verify_tol: float = 0.45,
+    spacing_factor: float = 1.75,
+    dt0=None,
+    pool_dt1=None,
+    period: float = 0.1,
+    min_points: int = 8,
+    max_candidates: int = 4,
+    extra_candidates=(),
+    trim: float = 1.0,
+    track_deltas=(),
+) -> list:
+    """Translation recovery for a pc0 cluster with no 1-1 pc1 cluster match,
+    directly against nearby RAW dynamic pc1 points.
+
+    Two failure modes of cluster-level matching land here: the target's pc1
+    points never formed their own DBSCAN cluster (sparse returns / merged
+    with a neighbor), and the pc0 cluster itself holds SEVERAL objects
+    (density-adaptive eps merges adjacent vehicles on sparse frames).
+    Candidate deltas come from a BEV offset histogram
+    (:func:`_histogram_delta_candidates` — the role of ICP-Flow's histogram
+    translation initialization); each candidate is ICP-refined, claims the
+    de-smeared-aligned INLIER SUBSET of the cluster, and is verified
+    two-sided against the pool points inside the aligned subset's bounding
+    box (+0.8 m margin). A merged two-object cluster thus yields two deltas
+    over disjoint point subsets instead of one wrong average.
+
+    Every candidate is refined and scored on the FULL cluster first; claims
+    are then made disjointly in DESCENDING inlier count. Order matters: a
+    blend delta between two merged objects' motions scores mid-pack
+    inliers (the smear admits partial matches from both members), and
+    claiming best-first lets the two true deltas absorb the points so the
+    blend's residual claim falls below ``min_points`` and dies.
+
+    Returns a list of ``(delta (3,) float32, local_mask (len(pts0),) bool)``
+    in claim order; masks are disjoint."""
+    from himo_tpu.training.ssl_labels import nn_residual_distances
+
+    if len(pts0) < min_points or len(pool1) == 0:
+        return []
+    dt0 = None if dt0 is None else np.asarray(dt0)
+    cands = (
+        list(track_deltas)
+        + list(extra_candidates)
+        + _histogram_delta_candidates(
+            pts0, pool1, match_gate, top_k=max_candidates,
+            dt0=dt0, pool_dt1=pool_dt1, period=period,
+        )
+    )
+
+    def inliers_of(delta):
+        aligned = _desmear(pts0, dt0, delta, period) + delta
+        q1 = _desmear(pool1, pool_dt1, delta, period)
+        r_in = max(verify_tol, 1.5 * _cluster_spacing(q1))
+        return nn_residual_distances(aligned, q1) <= r_in
+
+    evaluated = []  # (inlier_count, err, delta, inlier_mask)
+    for cand in cands:
+        delta = _refine_translation(
+            pts0, pool1, cand, dt0=dt0, dt1=pool_dt1, period=period
+        )
+        inl = inliers_of(delta)
+        if inl.sum() < min_points:
+            continue
+        # Re-refine on the inlier subset only, then verify two-sided against
+        # the pool points inside the aligned subset's bbox — a merged
+        # neighbor object outside the box cannot inflate the residual.
+        ipts = pts0[inl]
+        idt = None if dt0 is None else dt0[inl]
+        delta = _refine_translation(
+            ipts, pool1, delta, dt0=idt, dt1=pool_dt1, period=period
+        )
+        inl = inliers_of(delta)
+        if inl.sum() < min_points:
+            continue
+        ipts = pts0[inl]
+        idt = None if dt0 is None else dt0[inl]
+        aligned = _desmear(ipts, idt, delta, period) + delta
+        q1 = _desmear(pool1, pool_dt1, delta, period)
+        lo, hi = aligned.min(0) - 0.8, aligned.max(0) + 0.8
+        inbox = np.all((q1 >= lo) & (q1 <= hi), axis=1)
+        win = pool1[inbox]
+        win_dt = None if pool_dt1 is None else np.asarray(pool_dt1)[inbox]
+        if len(win) < 4:
+            continue
+        err = _pair_alignment_error(
+            ipts, win, delta, dt0=idt, dt1=win_dt, period=period, trim=trim
+        )
+        tol = max(verify_tol, spacing_factor * _cluster_spacing(win))
+        if err > tol:
+            continue
+        evaluated.append((int(inl.sum()), err, delta.astype(np.float32), inl))
+
+    # Claim order: track-consistent candidates outrank everything (velocity
+    # continuity is the only signal that separates convoy-aliased swaps from
+    # true matches — both verify geometrically); then inlier count bucketed
+    # to 10% of the best (count noise between a true delta and a blend is
+    # within that), then err + a 0.05/m motion-magnitude penalty.
+    def _track_consistent(delta):
+        return any(
+            float(np.linalg.norm(delta - np.asarray(td))) <= 0.6
+            for td in track_deltas
+        )
+
+    if evaluated:
+        bucket = max(1, int(0.1 * max(s[0] for s in evaluated)))
+        evaluated.sort(
+            key=lambda s: (
+                not _track_consistent(s[2]),
+                -(s[0] // bucket),
+                s[1] + 0.05 * float(np.linalg.norm(s[2])),
+            )
+        )
+    out = []
+    unassigned = np.ones(len(pts0), bool)
+    for _, _, delta, inl in evaluated:
+        claim = inl & unassigned
+        if claim.sum() < min_points:
+            continue
+        out.append((delta, claim))
+        unassigned &= ~claim
+    return out
 
 
 def match_cluster_translations(
@@ -156,6 +490,13 @@ def match_cluster_translations(
     match_gate: float,
     verify_tol: float = 0.45,
     spacing_factor: float = 1.75,
+    dt0=None,
+    dt1=None,
+    period: float = 0.1,
+    recover_dynamic1=None,
+    return_splits: bool = False,
+    trim: float = 1.0,
+    track_priors=None,
 ):
     """Translation seeds from VERIFIED 1-1 cluster matching.
 
@@ -176,59 +517,191 @@ def match_cluster_translations(
     initialization role of ICP-Flow's histogram translation search — objects
     moving beyond the ICP correspondence gate start inside it.
 
-    Returns ((max_clusters, 3) float32 seeds, (max_clusters,) bool matched).
-    """
-    from himo_tpu.training.ssl_labels import nn_residual_distances
+    When per-point sweep times are given (``dt0``/``dt1``, seconds from
+    sweep start; ``period`` = inter-sweep time) both sides are de-smeared
+    with the candidate delta inside the refine/verify loop — see
+    :func:`_desmear`.
 
+    ``recover_dynamic1`` (optional bool mask over pc1) enables a second
+    stage for pc0 clusters the 1-1 matching left unmatched — see
+    :func:`recover_split_translations`. With ``return_splits=True`` a third
+    output maps cluster index -> the recovered ``(delta, local_mask)`` list,
+    so a merged multi-object cluster can carry per-point priors instead of
+    one average delta.
+
+    Returns ((max_clusters, 3) float32 seeds, (max_clusters,) bool matched)
+    [, splits dict].
+    """
     init_t = np.zeros((max_clusters, 3), np.float32)
     matched = np.zeros(max_clusters, bool)
-    n0, n1 = int(labels0.max()), int(labels1.max())
-    if n0 == 0 or n1 == 0:
-        return init_t, matched
-    pts0 = [pc0[labels0 == c] for c in range(1, n0 + 1)]
-    pts1 = [pc1[labels1 == c] for c in range(1, n1 + 1)]
+    splits = {}
+    n0 = int(labels0.max())
+    n1 = int(labels1.max())
+    if n0 == 0:
+        return (init_t, matched, splits) if return_splits else (init_t, matched)
+    idx0 = [np.flatnonzero(labels0 == c) for c in range(1, n0 + 1)]
+    pts0 = [pc0[ix] for ix in idx0]
+    dts0 = [None if dt0 is None else np.asarray(dt0)[ix] for ix in idx0]
     cents0 = np.stack([p.mean(0) for p in pts0])
-    cents1 = np.stack([p.mean(0) for p in pts1])
-    d = np.linalg.norm(cents0[:, None] - cents1[None, :], axis=-1)  # (n0, n1)
 
-    def self_spacing(pts):
-        # Odd/even split (scan order is spatially sequential, so the halves
-        # interleave) — the median cross distance estimates point spacing.
-        if len(pts) < 4:
-            return np.inf
-        return float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
-
-    spacing1 = [self_spacing(p) for p in pts1]
-
-    candidates = []  # (alignment_error, i, j, delta)
-    for i in range(n0):
-        for j in range(n1):
-            if d[i, j] > match_gate:
-                continue
-            # Raw centroid deltas are biased by ~1 m when the two frames'
-            # clusters cover different subsets of the object (partial
-            # clustering of rolling-shutter smears — measured on the 25 m/s
-            # benchmark bucket); trimmed translation-only ICP removes it.
-            delta = _refine_translation(
-                pts0[i], pts1[j], cents1[j] - cents0[i]
+    def tracks_near(i):
+        """Deltas of tracks (ClusterTracker.predict output) whose predicted
+        position falls on cluster i — distance to the cluster's POINTS, not
+        its centroid: a density-adaptively merged multi-object cluster has
+        its centroid between the members, farther from each track than any
+        gate that would still reject neighboring objects' tracks."""
+        if not track_priors:
+            return []
+        return [
+            d
+            for p, d in track_priors
+            if float(
+                np.linalg.norm(pts0[i][:, :3] - p[None, :3], axis=1).min()
             )
-            shifted = pts0[i] + delta
-            fwd = nn_residual_distances(shifted, pts1[j])
-            bwd = nn_residual_distances(pts1[j], shifted)
-            err = float(max(fwd.mean(), bwd.mean()))
-            tol = max(verify_tol, spacing_factor * spacing1[j])
-            if err <= tol:
-                candidates.append((err, i, j, delta))
-    candidates.sort(key=lambda c: c[0])
-    used0, used1 = set(), set()
-    for err, i, j, delta in candidates:
-        if i in used0 or j in used1:
-            continue
-        used0.add(i)
-        used1.add(j)
-        if i < max_clusters:
-            init_t[i] = delta
-            matched[i] = True
+            <= 1.5
+        ]
+
+    used0 = set()
+    used_pairs = {}  # accepted 1-1 matches: pc0 cluster index -> pc1 index
+    if n1 > 0:
+        idx1 = [np.flatnonzero(labels1 == c) for c in range(1, n1 + 1)]
+        pts1 = [pc1[ix] for ix in idx1]
+        dts1 = [None if dt1 is None else np.asarray(dt1)[ix] for ix in idx1]
+        cents1 = np.stack([p.mean(0) for p in pts1])
+        d = np.linalg.norm(cents0[:, None] - cents1[None, :], axis=-1)
+
+        spacing1 = [_cluster_spacing(p) for p in pts1]
+
+        candidates = []  # (alignment_error, i, j, delta)
+        for i in range(n0):
+            if len(pts0[i]) < 8:
+                continue  # tiny fragments align anywhere — recovery instead
+            for j in range(n1):
+                if d[i, j] > match_gate or len(pts1[j]) < 8:
+                    continue
+                # Raw centroid deltas are biased by ~1 m when the two
+                # frames' clusters cover different subsets of the object
+                # (partial clustering of rolling-shutter smears — measured
+                # on the 25 m/s benchmark bucket); trimmed translation-only
+                # ICP removes it.
+                delta = _refine_translation(
+                    pts0[i], pts1[j], cents1[j] - cents0[i],
+                    dt0=dts0[i], dt1=dts1[j], period=period,
+                )
+                err = _pair_alignment_error(
+                    pts0[i], pts1[j], delta,
+                    dt0=dts0[i], dt1=dts1[j], period=period, trim=trim,
+                )
+                tol = max(verify_tol, spacing_factor * spacing1[j])
+                if err <= tol:
+                    candidates.append((err, i, j, delta))
+        # Greedy by err + a small motion-magnitude penalty (0.05 per meter):
+        # two identical vehicles in convoy are geometrically interchangeable
+        # (same shape, same velocity → same smear), so pure-err ordering
+        # cross-matches them on residual noise — measured 3.4-4.2 m swapped
+        # deltas. The penalty deterministically prefers the physically
+        # nearer explanation while staying below genuine err differences;
+        # track-consistent candidates (velocity continuity) outrank both.
+        def _cand_key(c):
+            err_, i_, _, delta_ = c
+            consistent = any(
+                float(np.linalg.norm(delta_ - td)) <= 0.6
+                for td in tracks_near(i_)
+            )
+            return (
+                not consistent,
+                err_ + 0.05 * float(np.linalg.norm(delta_)),
+            )
+
+        candidates.sort(key=_cand_key)
+        used1 = set()
+        for err, i, j, delta in candidates:
+            if i in used0 or j in used1:
+                continue
+            used0.add(i)
+            used1.add(j)
+            if i < max_clusters:
+                init_t[i] = delta
+                matched[i] = True
+                used_pairs[i] = j
+
+    if recover_dynamic1 is not None:
+        dyn_ix = np.flatnonzero(np.asarray(recover_dynamic1, bool))
+        dyn1 = pc1[dyn_ix, :3]
+        dyn_dt1 = None if dt1 is None else np.asarray(dt1)[dyn_ix]
+        # pc1-side exclusivity: dynamic points already explained by an
+        # accepted match leave the recovery pool, so a cluster whose true
+        # target vanished (occlusion / field-of-view exit) cannot latch onto
+        # a NEIGHBOR object's points — measured err 3-5 m matches before
+        # this gate existed. Seed the used-mask with the 1-1 matches'
+        # target clusters.
+        pool_used = np.zeros(len(dyn_ix), bool)
+        if n1 > 0 and len(dyn_ix) > 0 and used_pairs:
+            pool_used |= np.isin(
+                labels1[dyn_ix], [j + 1 for j in used_pairs.values()]
+            )
+
+        def _mark_covered(aligned_pts, q_delta):
+            """Pool points within cover radius of the aligned cluster."""
+            if len(dyn_ix) == 0 or len(aligned_pts) == 0:
+                return
+            from himo_tpu.training.ssl_labels import nn_residual_distances
+
+            q1_all = _desmear(dyn1, dyn_dt1, q_delta, period)
+            d = nn_residual_distances(q1_all, aligned_pts)
+            r_cover = max(0.6, 2.0 * _cluster_spacing(aligned_pts))
+            pool_used[d <= r_cover] = True
+
+        # EVERY cluster goes through per-point inlier gating, matched ones
+        # included: a density-adaptively merged two-object cluster can pass
+        # the 1-1 verification on its dominant member, and only the inlier
+        # gate stops its delta being painted over the second object. The 1-1
+        # delta rides along as the first candidate so a clean match keeps
+        # its (windowed-verified) seed. Largest clusters claim pool first
+        # (labels are compacted largest-first).
+        for i in range(min(n0, max_clusters)):
+            if len(pts0[i]) < 8 or len(dyn_ix) == 0:
+                continue
+            rad0 = float(
+                np.linalg.norm(pts0[i][:, :3] - cents0[i][None, :3], axis=1).max()
+            )
+            near = np.linalg.norm(
+                dyn1[:, :2] - cents0[i][None, :2], axis=1
+            ) <= (match_gate + rad0 + 1.0)
+            if i in used_pairs:
+                # Re-admit this cluster's own 1-1 target (it is "used" by
+                # the cluster itself).
+                near &= (~pool_used) | (labels1[dyn_ix] == used_pairs[i] + 1)
+            else:
+                near &= ~pool_used
+            found = recover_split_translations(
+                pts0[i],
+                dyn1[near],
+                match_gate,
+                verify_tol=verify_tol,
+                spacing_factor=spacing_factor,
+                dt0=dts0[i],
+                pool_dt1=None if dyn_dt1 is None else dyn_dt1[near],
+                period=period,
+                extra_candidates=[init_t[i]] if matched[i] else [],
+                trim=trim,
+                track_deltas=tracks_near(i),
+            )
+            if found:
+                init_t[i] = found[0][0]  # largest split seeds the cluster
+                matched[i] = True
+                splits[i] = found
+                for delta, local_mask in found:
+                    ldt = None if dts0[i] is None else dts0[i][local_mask]
+                    _mark_covered(
+                        _desmear(pts0[i][local_mask], ldt, delta, period)
+                        + delta,
+                        delta,
+                    )
+            # A 1-1 matched cluster whose windowed re-verification found
+            # nothing keeps its cluster-level match (splits entry absent).
+    if return_splits:
+        return init_t, matched, splits
     return init_t, matched
 
 
@@ -238,11 +711,18 @@ def icpflow_estimate(
     valid0: np.ndarray,
     valid1: np.ndarray,
     config: ICPFlowConfig = ICPFlowConfig(),
+    dt0=None,
+    dt1=None,
+    tracker=None,
+    pose1=None,
 ):
     """Full ICP-Flow: host clustering + device batched registration.
 
     pc0 must already be ego-compensated into the pc1 frame; the returned
-    residual flow is zero on static/unclustered points.
+    residual flow is zero on static/unclustered points. Optional sweep
+    times (``dt0``/``dt1``) give the translation matcher its de-smeared
+    form; a per-scene :class:`ClusterTracker` (+``pose1``) adds velocity
+    continuity to the seeds.
     """
     from himo_tpu.training.ssl_labels import cluster_dynamic_points, dynamic_mask_from_nn
 
@@ -280,9 +760,21 @@ def icpflow_estimate(
         min_samples=config.dbscan_min_samples,
         max_clusters=config.max_clusters,
     )
-    init_t, _ = match_cluster_translations(
-        pc0, labels, pc1, labels1, config.max_clusters, config.match_gate
+    track_priors = None
+    if tracker is not None and pose1 is not None:
+        track_priors = tracker.predict(pose1)
+    init_t, matched = match_cluster_translations(
+        pc0, labels, pc1, labels1, config.max_clusters, config.match_gate,
+        dt0=dt0, dt1=dt1, recover_dynamic1=dynamic1,
+        track_priors=track_priors,
     )
+    if tracker is not None and pose1 is not None:
+        assigned = [
+            (pc0[labels == cid + 1].mean(0), init_t[cid])
+            for cid in range(min(int(labels.max()), config.max_clusters))
+            if matched[cid]
+        ]
+        tracker.update(assigned, pose1)
 
     c, k = config.max_clusters, config.cluster_capacity
     clusters = np.zeros((c, k, 3), np.float32)
@@ -307,8 +799,16 @@ def icpflow_estimate(
 @register_estimator("icpflow")
 def make_icpflow(**overrides):
     config = ICPFlowConfig(**overrides)
+    trackers = {}  # per-scene velocity continuity (runner feeds frames in order)
 
-    def estimate(pc0, pc1, valid0, valid1, key=None):
-        return icpflow_estimate(pc0, pc1, valid0, valid1, config)
+    def estimate(pc0, pc1, valid0, valid1, key=None, dt0=None, dt1=None,
+                 scene_id=None, pose1=None):
+        tracker = None
+        if scene_id is not None and pose1 is not None:
+            tracker = trackers.setdefault(scene_id, ClusterTracker())
+        return icpflow_estimate(
+            pc0, pc1, valid0, valid1, config,
+            dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
+        )
 
     return estimate

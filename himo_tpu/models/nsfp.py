@@ -135,13 +135,19 @@ def cluster_prior_flow(
     min_samples: int = 5,
     match_gate: float = 6.0,
     min_norm: float = 1.0,
+    dt0=None,
+    dt1=None,
+    tracker=None,
+    pose1=None,
 ) -> "jnp.ndarray":
     """Host-side translation-prior field for seeding the optimization.
 
     DBSCAN clusters the dynamic points of both (ego-compensated) sweeps and
     spreads matched-centroid deltas over each pc0 cluster
     (training/ssl_labels.translation_priors). ``config`` (an NSFP/FastNSF
-    config) overrides the keyword defaults."""
+    config) overrides the keyword defaults. Per-point sweep times
+    (``dt0``/``dt1``) enable the de-smeared matcher, and a per-scene
+    models/icp_flow.ClusterTracker (+``pose1``) adds velocity continuity."""
     import numpy as np
 
     from himo_tpu.training.ssl_labels import (
@@ -171,17 +177,28 @@ def cluster_prior_flow(
     prior, _ = translation_priors(
         p0, labels0, p1, dyn1, eps=eps, min_samples=min_samples,
         match_gate=match_gate, min_norm=min_norm,
+        dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
     )
     return jnp.asarray(prior)
 
 
 @register_estimator("nsfp")
 def make_nsfp(**overrides):
-    config = NSFPConfig(**overrides)
+    from himo_tpu.models.icp_flow import ClusterTracker
 
-    def estimate(pc0, pc1, valid0, valid1, key):
+    config = NSFPConfig(**overrides)
+    trackers = {}  # per-scene velocity-continuity state (runner feeds frames in order)
+
+    def estimate(pc0, pc1, valid0, valid1, key, dt0=None, dt1=None,
+                 scene_id=None, pose1=None):
+        tracker = None
+        if scene_id is not None and pose1 is not None:
+            tracker = trackers.setdefault(scene_id, ClusterTracker())
         prior = (
-            cluster_prior_flow(pc0, pc1, valid0, valid1, config)
+            cluster_prior_flow(
+                pc0, pc1, valid0, valid1, config,
+                dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
+            )
             if config.cluster_prior
             else None
         )

@@ -72,6 +72,8 @@ def estimate_scene_flow(
 
     Returns throughput stats (frames, points, seconds).
     """
+    import inspect
+
     kwargs = dict(overrides)
     if checkpoint is not None:
         kwargs["checkpoint"] = checkpoint
@@ -79,8 +81,16 @@ def estimate_scene_flow(
     output_key = output_key or model
     # Feed-forward ++ variants consume a third (history) sweep.
     with_history = getattr(estimator, "num_frames", 2) >= 3
+    # Estimators that accept sweep times / scene identity get them: dt0/dt1
+    # drive the de-smeared prior matcher, (scene_id, pose1) its per-scene
+    # velocity-continuity tracker (frames arrive in scene order here).
+    est_params = set(inspect.signature(estimator).parameters)
+    aux_keys = {"dt0", "dt1", "scene_id", "pose1"} & est_params
 
-    dataset = SceneFlowDataset(data_dir, with_pc1=True, with_history=with_history)
+    dataset = SceneFlowDataset(
+        data_dir, with_pc1=True, with_history=with_history,
+        next_keys=("lidar_dt",),
+    )
     key = jax.random.PRNGKey(seed)
     timer = Timer()
     total_points = 0
@@ -106,18 +116,23 @@ def estimate_scene_flow(
             pc0_comp = xyz0 + pflow
             est0, est1 = pc0_comp, xyz1
             gm0, gm1 = np.asarray(data["gm0"], bool), np.asarray(data["gm1"], bool)
+            dt0 = np.asarray(data["lidar_dt"], np.float32)
+            dt1 = np.asarray(
+                data.get("lidar_dt1", np.zeros(len(xyz1), np.float32)),
+                np.float32,
+            )
             sub_idx = None
             if max_estimation_points is not None:
                 if len(est0) > max_estimation_points:
                     sub_idx = rng_np.choice(
                         len(est0), max_estimation_points, replace=False
                     )
-                    est0, gm0 = est0[sub_idx], gm0[sub_idx]
+                    est0, gm0, dt0 = est0[sub_idx], gm0[sub_idx], dt0[sub_idx]
                 if len(est1) > max_estimation_points:
                     keep1 = rng_np.choice(
                         len(est1), max_estimation_points, replace=False
                     )
-                    est1, gm1 = est1[keep1], gm1[keep1]
+                    est1, gm1, dt1 = est1[keep1], gm1[keep1], dt1[keep1]
             target = bucket_size(max(len(est0), len(est1)))
             p0, v0 = _pad_cloud(est0, ~gm0, target)
             p1, v1 = _pad_cloud(est1, ~gm1, target)
@@ -135,10 +150,25 @@ def estimate_scene_flow(
                 history = _pad_cloud(hist, ~gmh, target)
         key, sub = jax.random.split(key)
         with timer("estimate"):
+            aux = {}
+            if aux_keys:
+                d0p = np.zeros(target, np.float32)
+                d0p[: len(est0)] = dt0[: len(est0)]
+                d1p = np.zeros(target, np.float32)
+                d1p[: len(est1)] = dt1[: len(est1)]
+                full_aux = {
+                    "dt0": d0p,
+                    "dt1": d1p,
+                    "scene_id": data["scene_id"],
+                    "pose1": np.asarray(data["pose1"]),
+                }
+                aux = {k: full_aux[k] for k in aux_keys}
             if with_history:
-                residual, loss = estimator(p0, p1, v0, v1, sub, history=history)
+                residual, loss = estimator(
+                    p0, p1, v0, v1, sub, history=history, **aux
+                )
             else:
-                residual, loss = estimator(p0, p1, v0, v1, sub)
+                residual, loss = estimator(p0, p1, v0, v1, sub, **aux)
             residual = np.asarray(residual)[: len(est0)]
         if sub_idx is not None:
             with timer("upsample"):

@@ -80,6 +80,35 @@ def dynamic_mask_from_nn(
     return d > threshold
 
 
+def _dbscan_adaptive(
+    pts: np.ndarray,
+    eps: float,
+    min_samples: int,
+    spacing_mult: float = 2.5,
+    eps_cap: float = 1.6,
+) -> np.ndarray:
+    """Density-adaptive DBSCAN: eps scales with the measured point spacing.
+
+    A fixed eps silently breaks on sparse clouds: at ~0.45 m point spacing
+    (objects at range / sparse returns) eps=0.6 clusters NOTHING — measured
+    72 of 156 fast benchmark objects unclustered for exactly this reason —
+    and even at ~0.3 m spacing it shatters objects into 3-7 fragments whose
+    tiny pieces then mis-match (a 5-point fragment aligns anywhere).
+    ``eps = max(eps, spacing_mult * median NN spacing)`` keeps dense-scene
+    separation (the floor binds) while sparse frames cluster whole objects.
+    Sparse frames may merge adjacent objects — the matcher's split-recovery
+    stage (models/icp_flow.recover_split_translations) handles those.
+    Returns sklearn-style raw labels (-1 = noise)."""
+    from sklearn.cluster import DBSCAN
+
+    eps_eff = eps
+    if len(pts) >= 4:
+        spacing = float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
+        if np.isfinite(spacing):
+            eps_eff = float(np.clip(spacing_mult * spacing, eps, eps_cap))
+    return DBSCAN(eps=eps_eff, min_samples=min_samples).fit_predict(pts)
+
+
 def cluster_dynamic_points(
     points: np.ndarray,
     dynamic: np.ndarray,
@@ -87,14 +116,13 @@ def cluster_dynamic_points(
     min_samples: int = 8,
     max_clusters: int = 63,
 ) -> np.ndarray:
-    """DBSCAN cluster ids (1..max_clusters) for dynamic points, 0 elsewhere."""
-    from sklearn.cluster import DBSCAN
-
+    """Density-adaptive DBSCAN cluster ids (1..max_clusters) for dynamic
+    points, 0 elsewhere (see :func:`_dbscan_adaptive`)."""
     labels = np.zeros(len(points), dtype=np.uint16)
     idx = np.where(dynamic)[0]
     if len(idx) < min_samples:
         return labels
-    raw = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(points[idx, :3])
+    raw = _dbscan_adaptive(points[idx, :3], eps, min_samples)
     # Compact to 1..max_clusters, largest clusters first.
     ids, counts = np.unique(raw[raw >= 0], return_counts=True)
     order = ids[np.argsort(-counts)][:max_clusters]
@@ -113,6 +141,11 @@ def translation_priors(
     max_clusters: int = 63,
     match_gate: float = 6.0,
     min_norm: float = 0.0,
+    dt0=None,
+    dt1=None,
+    period: float = 0.1,
+    tracker=None,
+    pose1=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Per-point translation priors for fast objects.
 
@@ -124,9 +157,21 @@ def translation_priors(
     regime needs (cf. worst-case sweep-travel box growth,
     /root/reference/dataprocess/extract_sca.py:110-114).
 
+    Per-point sweep times (``dt0``/``dt1`` = the schema's ``lidar_dt``) let
+    the matcher de-smear rolling-shutter smears with each candidate delta,
+    and pc0 clusters the 1-1 matching leaves unmatched are recovered against
+    pc1's raw dynamic points (merged/unclustered targets) — see
+    models/icp_flow.match_cluster_translations.
+
     ``min_norm`` drops matches whose delta is below it (estimator seeding
     only needs priors where plain chamfer cannot reach; small spurious
     deltas on static structures would otherwise have to be unlearned).
+
+    ``tracker`` (a models/icp_flow.ClusterTracker, with ``pose1`` = this
+    pair's world<-ego1 pose) adds cross-frame velocity continuity: tracked
+    deltas enter the matcher as preferred candidates and this frame's
+    accepted matches update the tracks. Callers keep one tracker per scene
+    and feed frames in order.
 
     Returns ((N, 3) float32 prior flow, (N,) bool prior validity)."""
     from himo_tpu.models.icp_flow import match_cluster_translations
@@ -134,18 +179,38 @@ def translation_priors(
     labels1 = cluster_dynamic_points(
         xyz1, dynamic1, eps=eps, min_samples=min_samples, max_clusters=max_clusters
     )
-    init_t, matched = match_cluster_translations(
-        pc0_comp, labels0, xyz1, labels1, max_clusters, match_gate
+    track_priors = None
+    if tracker is not None and pose1 is not None:
+        track_priors = tracker.predict(pose1)
+    init_t, matched, splits = match_cluster_translations(
+        pc0_comp, labels0, xyz1, labels1, max_clusters, match_gate,
+        dt0=dt0, dt1=dt1, period=period, recover_dynamic1=dynamic1,
+        return_splits=True, track_priors=track_priors,
     )
     prior = np.zeros((len(pc0_comp), 3), np.float32)
     prior_valid = np.zeros(len(pc0_comp), bool)
+    assigned = []  # (centroid, delta) for the tracker update
     for cid in range(1, int(labels0.max()) + 1):
-        if cid - 1 < max_clusters and matched[cid - 1]:
+        if cid - 1 >= max_clusters:
+            continue
+        m_ix = np.flatnonzero(labels0 == cid)
+        if cid - 1 in splits:
+            # Split-recovered cluster (merged objects / clusterless target):
+            # each verified delta covers only its inlier subset.
+            for delta, local_mask in splits[cid - 1]:
+                assigned.append((pc0_comp[m_ix[local_mask], :3].mean(0), delta))
+                if np.linalg.norm(delta) < min_norm:
+                    continue
+                prior[m_ix[local_mask]] = delta
+                prior_valid[m_ix[local_mask]] = True
+        elif matched[cid - 1]:
+            assigned.append((pc0_comp[m_ix, :3].mean(0), init_t[cid - 1]))
             if np.linalg.norm(init_t[cid - 1]) < min_norm:
                 continue
-            m = labels0 == cid
-            prior[m] = init_t[cid - 1]
-            prior_valid[m] = True
+            prior[m_ix] = init_t[cid - 1]
+            prior_valid[m_ix] = True
+    if tracker is not None and pose1 is not None:
+        tracker.update(assigned, pose1)
     return prior, prior_valid
 
 
@@ -155,11 +220,14 @@ def label_frame(
     eps: float = 0.6,
     min_samples: int = 8,
     with_prior: bool = False,
+    tracker=None,
 ):
     """(dynamic, cluster) labels for one frame-pair dict (needs pc1/gm1).
 
     ``with_prior=True`` additionally returns (prior, prior_valid) from
-    :func:`translation_priors` — a 4-tuple."""
+    :func:`translation_priors` — a 4-tuple. ``tracker`` (one
+    models/icp_flow.ClusterTracker per scene, frames fed in order) adds
+    cross-frame velocity continuity to the prior matching."""
     xyz0 = data["pc0"][:, :3]
     xyz1 = data["pc1"][:, :3]
     pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
@@ -174,7 +242,9 @@ def label_frame(
     dynamic1 = np.zeros(len(xyz1), dtype=bool)
     dynamic1[ng1] = dynamic_mask_from_nn(xyz1[ng1], pc0_comp[ng0], threshold)
     prior, prior_valid = translation_priors(
-        pc0_comp, clusters, xyz1, dynamic1, eps=eps, min_samples=min_samples
+        pc0_comp, clusters, xyz1, dynamic1, eps=eps, min_samples=min_samples,
+        dt0=data.get("lidar_dt"), dt1=data.get("lidar_dt1"),
+        tracker=tracker, pose1=data.get("pose1"),
     )
     return dynamic, clusters.astype(np.uint16), prior, prior_valid
 
@@ -186,15 +256,19 @@ def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) ->
 
     from himo_tpu.data.dataset import SceneFlowDataset
 
-    dataset = SceneFlowDataset(data_dir, with_pc1=True)
+    dataset = SceneFlowDataset(data_dir, with_pc1=True, next_keys=("lidar_dt",))
     it = range(len(dataset))
     if verbose:
         it = tqdm(it, ncols=100, desc=f"SSL labels for {data_dir}")
+    from himo_tpu.models.icp_flow import ClusterTracker
+
+    trackers: Dict[str, ClusterTracker] = {}
     n = 0
     for i in it:
         data = dataset[i]
+        tracker = trackers.setdefault(data["scene_id"], ClusterTracker())
         dynamic, clusters, prior, prior_valid = label_frame(
-            data, threshold=threshold, with_prior=True
+            data, threshold=threshold, with_prior=True, tracker=tracker
         )
         with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
             g = f[str(data["timestamp"])]
@@ -337,15 +411,13 @@ def fuse_dynamic_evidence(
     (or the NN residual evidence is near-unanimous). Returns
     (dynamic, cluster_ids) — measured on synthetic scenes this fusion keeps
     DUFO's perfect precision while beating the NN labels' recall."""
-    from sklearn.cluster import DBSCAN
-
     cand = (nn_dyn | dufo_dyn) & not_ground
     dynamic = np.zeros(len(points), bool)
     labels = np.zeros(len(points), np.uint16)
     idx = np.flatnonzero(cand)
     if len(idx) < min_samples:
         return dynamic, labels
-    raw = DBSCAN(eps=eps, min_samples=min_samples).fit_predict(points[idx, :3])
+    raw = _dbscan_adaptive(points[idx, :3], eps, min_samples)
     kept = []
     for c in range(raw.max() + 1):
         m = idx[raw == c]
@@ -382,10 +454,13 @@ def write_ssl_labels_dufo(
             scene, voxel=voxel, samples=samples, endpoint_margin=endpoint_margin
         )
 
-    dataset = SceneFlowDataset(data_dir, with_pc1=True)
+    from himo_tpu.models.icp_flow import ClusterTracker
+
+    dataset = SceneFlowDataset(data_dir, with_pc1=True, next_keys=("lidar_dt",))
     it = range(len(dataset))
     if verbose:
         it = tqdm(it, ncols=100, desc=f"DUFO labels {data_dir}")
+    trackers: Dict[str, ClusterTracker] = {}
     n = 0
     for i in it:
         data = dataset[i]
@@ -408,7 +483,10 @@ def write_ssl_labels_dufo(
         dynamic1 = np.zeros(len(xyz1), bool)
         dynamic1[ng1] = dynamic_mask_from_nn(xyz1[ng1], pc0_comp[ng0], threshold)
         prior, prior_valid = translation_priors(
-            pc0_comp, clusters.astype(np.int64), xyz1, dynamic1
+            pc0_comp, clusters.astype(np.int64), xyz1, dynamic1,
+            dt0=data.get("lidar_dt"), dt1=data.get("lidar_dt1"),
+            tracker=trackers.setdefault(data["scene_id"], ClusterTracker()),
+            pose1=data.get("pose1"),
         )
         with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
             g = f[str(data["timestamp"])]

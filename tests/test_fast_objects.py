@@ -134,14 +134,17 @@ class TestICPFlowFastObjects:
     def test_match_cluster_translations_greedy_gate(self):
         from himo_tpu.models.icp_flow import match_cluster_translations
 
-        pc0 = np.array(
-            [[0, 0, 0], [0.2, 0, 0], [10, 0, 0], [10.2, 0, 0]], np.float32
+        # 8 points per cluster: the matcher ignores smaller fragments (they
+        # align anywhere; recovery handles them per-point instead).
+        blob = np.stack(
+            [np.linspace(0, 1.4, 8), np.zeros(8), np.zeros(8)], axis=1
+        ).astype(np.float32)
+        pc0 = np.concatenate([blob, blob + [10, 0, 0]])
+        labels0 = np.repeat([1, 2], 8)
+        pc1 = np.concatenate([blob + [3, 0, 0], blob + [30, 0, 0]]).astype(
+            np.float32
         )
-        labels0 = np.array([1, 1, 2, 2])
-        pc1 = np.array(
-            [[3, 0, 0], [3.2, 0, 0], [30, 0, 0], [30.2, 0, 0]], np.float32
-        )
-        labels1 = np.array([1, 1, 2, 2])
+        labels1 = np.repeat([1, 2], 8)
         init_t, matched = match_cluster_translations(
             pc0, labels0, pc1, labels1, max_clusters=8, match_gate=4.5
         )
@@ -217,3 +220,105 @@ class TestSSLFastObjectSignals:
         )(jnp.zeros((1024, 3), jnp.float32))
         obj_g = np.abs(np.asarray(g)[n_s:n]).sum()
         assert obj_g > 0.0
+
+
+class TestDesmearMatching:
+    """Round-3 fast-object upgrades: rolling-shutter de-smear inside the
+    matcher, per-candidate split recovery for merged clusters, and the
+    cross-frame ClusterTracker that disambiguates convoy aliasing."""
+
+    def _smeared_pair(self, rng, delta, n=240, center=(5.0, 2.0, 1.0),
+                      period=0.1):
+        """One rigid object sampled in two sweeps with rolling-shutter smear:
+        a point captured dt into its sweep sits at surface + v*dt. Both
+        sweeps sample the SAME box surface independently (a persistent shape
+        — two unrelated gaussian blobs have nothing for ICP to align)."""
+        from himo_tpu.data.synthetic import _sample_box_points
+
+        delta = np.asarray(delta, np.float32)
+        v = delta / period
+        size = np.array([4.0, 1.8, 1.5])
+        surf0 = (_sample_box_points(rng, n, size) + center).astype(np.float32)
+        surf1 = (_sample_box_points(rng, n, size) + center).astype(np.float32)
+        dt0 = rng.uniform(0, period, size=n).astype(np.float32)
+        dt1 = rng.uniform(0, period, size=n).astype(np.float32)
+        pts0 = surf0 + v[None] * dt0[:, None]
+        pts1 = surf1 + delta[None] + v[None] * dt1[:, None]
+        return pts0.astype(np.float32), dt0, pts1.astype(np.float32), dt1
+
+    def test_desmear_refinement_beats_raw(self, rng):
+        """At 25 m/s the smear is 2.5 m long; translation-ICP on raw smears
+        slides along the motion axis while the de-smeared refinement locks
+        the true delta."""
+        from himo_tpu.models.icp_flow import _refine_translation
+
+        delta = np.array([2.5, 0.5, 0.0], np.float32)
+        pts0, dt0, pts1, dt1 = self._smeared_pair(rng, delta)
+        # Partial coverage (the real-world failure): each sweep's cluster
+        # covers a different point subset.
+        start = pts1.mean(0) - pts0.mean(0)
+        d_dt = _refine_translation(pts0[:180], pts1[60:], start,
+                                   dt0=dt0[:180], dt1=dt1[60:])
+        assert np.linalg.norm(d_dt - delta) < 0.25
+
+    def test_split_recovery_separates_merged_objects(self, rng):
+        """A merged two-object cluster yields TWO verified deltas over
+        disjoint subsets, not one wrong average."""
+        from himo_tpu.models.icp_flow import recover_split_translations
+
+        dA = np.array([2.5, 0.0, 0.0], np.float32)
+        dB = np.array([0.0, -2.5, 0.0], np.float32)
+        a0, adt0, a1, adt1 = self._smeared_pair(rng, dA, center=(4.0, 2.0, 1.0))
+        b0, bdt0, b1, bdt1 = self._smeared_pair(rng, dB, center=(9.0, -2.0, 1.0))
+        pts0 = np.concatenate([a0, b0])
+        dt0 = np.concatenate([adt0, bdt0])
+        pool1 = np.concatenate([a1, b1])
+        pool_dt1 = np.concatenate([adt1, bdt1])
+        found = recover_split_translations(
+            pts0, pool1, match_gate=6.0, dt0=dt0, pool_dt1=pool_dt1
+        )
+        assert len(found) >= 2
+        # Each true delta is recovered by some split, and each split's claim
+        # is dominated by the right object's points.
+        for want, lo, hi in ((dA, 0, 240), (dB, 240, 480)):
+            hits = [s for s in found
+                    if np.linalg.norm(s[0] - want) < 0.35]
+            assert hits, f"no split recovered {want}"
+            mask = hits[0][1]
+            assert mask[lo:hi].sum() > 0.7 * mask.sum()
+
+    def test_cluster_tracker_roundtrip_and_preference(self, rng):
+        """Tracker state survives an ego-frame change, and a track-consistent
+        candidate outranks a convoy-aliased swap in the claim ordering."""
+        from himo_tpu.models.icp_flow import (
+            ClusterTracker,
+            recover_split_translations,
+        )
+
+        tracker = ClusterTracker()
+        pose1 = np.eye(4)
+        tracker.update([(np.array([5.0, 2.0, 1.0]), np.array([2.5, 0, 0]))],
+                       pose1)
+        # Next pair's ego frame: translated 1 m along x, rotated 90 deg.
+        c, s = 0.0, 1.0
+        pose2 = np.array([[c, -s, 0, 1.0], [s, c, 0, 0], [0, 0, 1, 0],
+                          [0, 0, 0, 1.0]])
+        (pos, delta), = tracker.predict(pose2)
+        # World position (7.5, 2, 1) -> ego2: R^T (p - t)
+        np.testing.assert_allclose(pos, [2.0, -6.5, 1.0], atol=1e-5)
+        np.testing.assert_allclose(delta, [0.0, -2.5, 0.0], atol=1e-5)
+
+        # Two identical objects in convoy: without a track the swap delta is
+        # as good as the true one; the track pins the true assignment.
+        dTrue = np.array([2.5, 0.0, 0.0], np.float32)
+        a0, adt0, a1, adt1 = self._smeared_pair(rng, dTrue,
+                                                center=(4.0, 2.0, 1.0))
+        b1 = a1 + np.array([4.0, 0.0, 0.0], np.float32)  # identical neighbor
+        pool1 = np.concatenate([a1, b1])
+        pool_dt1 = np.concatenate([adt1, adt1])
+        found = recover_split_translations(
+            a0, pool1, match_gate=8.0, dt0=adt0, pool_dt1=pool_dt1,
+            track_deltas=[dTrue],
+        )
+        assert found
+        assert np.linalg.norm(found[0][0] - dTrue) < 0.35
