@@ -27,7 +27,17 @@ import jax
 import jax.numpy as jnp
 
 from himo_tpu.models.registry import register_estimator
+from himo_tpu.ops.mxu_scatter import gather_rows_sorted, scatter_sum_sorted
+from himo_tpu.ops.nn import take_rows
 from himo_tpu.ops.voxelize import PillarConfig, gather_pillars, scatter_max, voxelize_pillars
+
+
+def _take_cols(a: jax.Array, order: jax.Array) -> jax.Array:
+    """Reorder (N, C) rows via C separate 1-D takes (vectorizable), not one
+    row take (per-row latency-bound on TPU)."""
+    return jnp.stack(
+        [jnp.take(a[:, k], order) for k in range(a.shape[1])], axis=1
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,6 +55,12 @@ class FlowNetConfig:
     # sweep 0 — fast objects beyond the chamfer radius arrive pre-localized,
     # and the prior_flow_loss makes copying a good prior the easy solution.
     prior_feat: bool = False
+    # Pillar pooling: 'max' (PointPillars-classic; scalar-store Pallas
+    # kernels, ~21 ns/point floor) or 'mean_sorted' (points argsorted by
+    # pillar id per sweep; mean pooling + feature gather ride the MXU
+    # one-hot matmul kernels in ops/mxu_scatter.py — a few cycles/point,
+    # and the backward is matmuls too).
+    pooling: str = "max"
 
 
 class PointFeatureNet(nn.Module):
@@ -171,25 +187,62 @@ class SceneFlowNet(nn.Module):
         pfn = PointFeatureNet(
             cfg.point_feat_dim, dtype, extra_dim=3 if cfg.prior_feat else 0
         )
+        sorted_mode = cfg.pooling == "mean_sorted"
+        h, w = cfg.pillar.grid_shape
+        hw = h * w
 
         images = []
         grids = []
         feats = []
+        sweep0 = None  # (order, spids, in_range_sorted) for the decoder
         for idx, (pc, valid) in enumerate(zip(sweeps, valids)):
             grid = voxelize_pillars(pc, valid, cfg.pillar)
             extra = None
             if cfg.prior_feat and idx == 0 and prior is not None:
                 extra = prior.astype(dtype)
-            f = pfn(pc, grid.centers_offset, extra)
-            f = jnp.where(grid.in_range[:, None], f, 0.0)
-            images.append(scatter_max(f, grid))
+            if sorted_mode:
+                # Reorder the RAW per-point columns by pillar id (1-D takes;
+                # 2-D row takes are per-row latency-bound) so the pooling
+                # and gather ride the sorted-stream MXU kernels.
+                order = jnp.argsort(grid.pillar_ids).astype(jnp.int32)
+                spids = jnp.take(grid.pillar_ids, order)
+                pc_s = _take_cols(pc[:, :3], order)
+                off_s = _take_cols(grid.centers_offset, order)
+                in_s = jnp.take(grid.in_range, order)
+                extra_s = None if extra is None else _take_cols(extra, order)
+                f = pfn(pc_s, off_s, extra_s)
+                f = jnp.where(in_s[:, None], f, 0.0)
+                aug = jnp.concatenate(
+                    [f.astype(jnp.float32), in_s.astype(jnp.float32)[:, None]],
+                    axis=1,
+                )
+                out = scatter_sum_sorted(spids, aug, num_rows=hw)
+                sums, counts = out[:hw, :-1], out[:hw, -1]
+                img = sums / jnp.maximum(counts, 1.0)[:, None]
+                images.append(img.reshape(h, w, -1).astype(dtype))
+                if idx == 0:
+                    sweep0 = (order, spids)
+            else:
+                f = pfn(pc, grid.centers_offset, extra)
+                f = jnp.where(grid.in_range[:, None], f, 0.0)
+                images.append(scatter_max(f, grid))
             grids.append(grid)
             feats.append(f)
 
         x = jnp.concatenate(images, axis=-1).astype(dtype)
         out_img = UNet(cfg.depths, cfg.base_channels * 2, dtype)(x)
 
-        pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)
+        if sorted_mode:
+            order0, spids0 = sweep0
+            flat = out_img.reshape(hw, -1).astype(jnp.float32)
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((8, flat.shape[1]), flat.dtype)]
+            )
+            pillar_feat = gather_rows_sorted(
+                spids0, flat, num_rows=hw
+            ).astype(dtype)
+        else:
+            pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)
         point_feat = feats[0]
         if cfg.decoder == "deflow":
             flow = DeFlowGRUDecoder(cfg.base_channels * 2, cfg.gru_iters, dtype)(
@@ -197,7 +250,14 @@ class SceneFlowNet(nn.Module):
             )
         else:
             flow = LinearDecoder(cfg.base_channels * 2, dtype)(pillar_feat, point_feat)
-        return jnp.where(valids[0][:, None], flow.astype(jnp.float32), 0.0)
+        flow = flow.astype(jnp.float32)
+        if sorted_mode:
+            # Un-sort back to input point order. take_rows' transpose runs
+            # through the Pallas sum-scatter (XLA's unsorted scatter-add of
+            # the incoming gradient would cost ~70 ns/point).
+            inv = jnp.argsort(sweep0[0]).astype(jnp.int32)
+            flow = take_rows(flow, inv)
+        return jnp.where(valids[0][:, None], flow, 0.0)
 
 
 def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:

@@ -213,13 +213,12 @@ def _prep_sorted(spids, num_rows: int):
     return spids, pidv
 
 
-def scatter_sum_sorted(spids, feats, *, num_rows: int):
-    """Sum-scatter SORTED (N,) pids / (N, C) rows into (num_rows + 8, C).
-
-    pids must be ascending; rows >= num_rows are trash (sliced by callers).
-    fp32 in/out; the one-hot matmul runs at HIGHEST precision, so sums match
-    the XLA segment_sum reference to fp32 rounding."""
+def _scatter_sum_impl(spids, feats, num_rows: int):
     n, c = feats.shape
+    if not (jax.default_backend() == "tpu" or _interpret()):
+        return jax.ops.segment_sum(
+            feats, jnp.minimum(spids, num_rows + 7), num_segments=num_rows + 8
+        )
     bands, band_rows, _ = _band_partition(num_rows, c)
     spids_p, pidv = _prep_sorted(spids, num_rows)
     if spids_p.shape[0] > n:
@@ -229,6 +228,41 @@ def scatter_sum_sorted(spids, feats, *, num_rows: int):
     starts = _band_starts(spids_p, bands, band_rows)
     call = _scatter_sum_call(num_rows, c, _interpret())
     return call(starts, spids_p, pidv, feats)
+
+
+@functools.lru_cache(maxsize=None)
+def _scatter_sum_vjp_fn(num_rows: int):
+    @jax.custom_vjp
+    def core(spids, feats):
+        return _scatter_sum_impl(spids, feats, num_rows)
+
+    def fwd(spids, feats):
+        return core(spids, feats), spids
+
+    def bwd(spids, g):
+        import numpy as onp
+
+        dfeats = _gather_rows_impl(spids, g, num_rows)
+        return (
+            onp.zeros(onp.shape(spids), dtype=jax.dtypes.float0),
+            dfeats,
+        )
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def scatter_sum_sorted(spids, feats, *, num_rows: int):
+    """Sum-scatter SORTED (N,) pids / (N, C) rows into (num_rows + 8, C).
+
+    pids must be ascending; rows >= num_rows are trash (sliced by callers).
+    fp32 in/out; the one-hot matmul runs at HIGHEST precision, so sums match
+    the XLA segment_sum reference to fp32 rounding. Non-TPU backends (no
+    interpret flag) fall back to XLA's sorted segment_sum.
+
+    Differentiable in ``feats``: the transpose is :func:`gather_rows_sorted`
+    — the whole scatter/gather pair backpropagates through MXU matmuls."""
+    return _scatter_sum_vjp_fn(num_rows)(spids, feats)
 
 
 # ------------------------------------------------------------------ gather
@@ -353,16 +387,48 @@ def _gather_call(num_rows: int, channels: int, interpret: bool):
     return gather
 
 
-def gather_rows_sorted(spids, image, *, num_rows: int):
-    """Per-point rows of ``image`` for a SORTED pid stream (N, C).
-
-    The transpose of :func:`scatter_sum_sorted`: one-hot^T @ window matmuls
-    instead of per-row dynamic loads. pids >= num_rows read the trash rows (content is caller don't-care)."""
+def _gather_rows_impl(spids, image, num_rows: int):
     n = spids.shape[0]
     c = image.shape[1]
+    if not (jax.default_backend() == "tpu" or _interpret()):
+        return jnp.take(image, jnp.minimum(spids, image.shape[0] - 1), axis=0)
     bands, band_rows, _ = _band_partition(num_rows, c)
     spids_p, pidv = _prep_sorted(spids, num_rows)
     starts = _band_starts(spids_p, bands, band_rows)
     call = _gather_call(num_rows, c, _interpret())
     out = call(starts, spids_p, pidv, image)
     return out[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _gather_rows_vjp_fn(num_rows: int):
+    @jax.custom_vjp
+    def core(spids, image):
+        return _gather_rows_impl(spids, image, num_rows)
+
+    def fwd(spids, image):
+        return core(spids, image), spids
+
+    def bwd(spids, g):
+        import numpy as onp
+
+        dimage = _scatter_sum_impl(spids, g, num_rows)
+        return (
+            onp.zeros(onp.shape(spids), dtype=jax.dtypes.float0),
+            dimage,
+        )
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
+def gather_rows_sorted(spids, image, *, num_rows: int):
+    """Per-point rows of ``image`` ((num_rows + 8, C)) for a SORTED pid
+    stream -> (N, C).
+
+    The transpose of :func:`scatter_sum_sorted`: one-hot^T @ window matmuls
+    instead of per-row dynamic loads. pids >= num_rows read the trash rows
+    (content is caller don't-care; their gradient still routes to the trash
+    rows, which callers slice off). Non-TPU backends (no interpret flag)
+    fall back to an XLA row take."""
+    return _gather_rows_vjp_fn(num_rows)(spids, image)

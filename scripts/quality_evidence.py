@@ -28,6 +28,11 @@ def main():
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-opt", action="store_true")
     ap.add_argument("--epochs", type=int, default=12)
+    # Reference recipe (lr 6e-5, StepLR(3, 0.5)) freezes lr to ~1e-9 by
+    # epoch 45 — fine for the 12-epoch parity run, wasteful for long
+    # headline runs. Pass e.g. --lr 1.2e-4 --lr-step 30 for those.
+    ap.add_argument("--lr", type=float, default=6e-5)
+    ap.add_argument("--lr-step", type=int, default=3)
     ap.add_argument("--num-points", type=int, default=20480)
     # 0 = full-resolution estimation (default): subsampling before the host
     # labeling step breaks the density-adaptive dynamic threshold's value
@@ -58,6 +63,8 @@ def main():
             model="seflowpp",
             batch_size=8,
             epochs=args.epochs,
+            lr=args.lr,
+            step_lr_epochs=args.lr_step,
             num_points=args.num_points,
             loss_points=8192,
             log_every=10,

@@ -261,3 +261,48 @@ class TestPriorConditioned:
         valid = np.ones(256, bool)
         flow, _ = est(pc, pc + 0.1, valid, valid)
         assert np.asarray(flow).shape == (256, 3)
+
+
+def test_mean_sorted_pooling_parity(rng):
+    """pooling='mean_sorted' (MXU sorted-stream kernels, interpret mode)
+    matches its own XLA fallback to fp32 rounding, forward and grad."""
+    import os
+    import jax
+    import jax.numpy as jnp
+
+    from himo_tpu.models.feedforward import init_params, make_model
+    from himo_tpu.ops.voxelize import PillarConfig
+
+    pillar = PillarConfig(
+        x_range=(-10, 10), y_range=(-10, 10), voxel_size=(0.5, 0.5)
+    )
+    n = 1024
+    pc = tuple(
+        jnp.asarray(rng.uniform(-9, 9, size=(n, 3)).astype(np.float32))
+        for _ in range(3)
+    )
+    valid = jnp.asarray(np.arange(n) < 960)
+    model, _ = make_model(
+        "seflowpp", pillar=pillar, depths=(16, 32), point_feat_dim=8,
+        base_channels=8, pooling="mean_sorted",
+    )
+    params = init_params(model, jax.random.PRNGKey(0), n)
+
+    def run():
+        flow = model.apply(params, pc, (valid, valid, valid))
+        g = jax.grad(
+            lambda p: jnp.sum(model.apply(p, pc, (valid, valid, valid)) ** 2)
+        )(params)
+        gsum = sum(
+            float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g)
+        )
+        return np.asarray(flow), gsum
+
+    f_xla, g_xla = run()
+    os.environ["HIMO_PALLAS_INTERPRET"] = "1"
+    try:
+        f_pl, g_pl = run()
+    finally:
+        os.environ.pop("HIMO_PALLAS_INTERPRET", None)
+    np.testing.assert_allclose(f_pl, f_xla, atol=1e-4)
+    assert g_xla > 0 and abs(g_pl - g_xla) / g_xla < 1e-4

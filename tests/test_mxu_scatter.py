@@ -121,3 +121,49 @@ def test_vmap_batches():
             )
         )
         np.testing.assert_allclose(out[i, :num_rows], ref, atol=1e-4)
+
+
+def test_gradients_transpose_pair():
+    """scatter's VJP is gather and vice versa; check against XLA autodiff."""
+    from himo_tpu.ops.mxu_scatter import gather_rows_sorted, scatter_sum_sorted
+
+    rng = np.random.default_rng(4)
+    num_rows, n, c = 1024, 512, 8
+    pids, feats = _sorted_case(rng, num_rows, n, c, trash=3)
+    pids_j, feats_j = jnp.asarray(pids), jnp.asarray(feats)
+    img = jnp.asarray(rng.normal(size=(num_rows + 8, c)).astype(np.float32))
+
+    def loss_scatter(f):
+        out = scatter_sum_sorted(pids_j, f, num_rows=num_rows)
+        return jnp.sum(out[:num_rows] ** 2)
+
+    def loss_scatter_ref(f):
+        live = jnp.asarray(pids < num_rows)
+        out = jax.ops.segment_sum(
+            jnp.where(live[:, None], f, 0.0),
+            jnp.minimum(pids_j, num_rows),
+            num_segments=num_rows + 1,
+        )
+        return jnp.sum(out[:num_rows] ** 2)
+
+    g = jax.grad(loss_scatter)(feats_j)
+    g_ref = jax.grad(loss_scatter_ref)(feats_j)
+    live = pids < num_rows
+    np.testing.assert_allclose(np.asarray(g)[live], np.asarray(g_ref)[live],
+                               atol=1e-3)
+
+    def loss_gather(im):
+        out = gather_rows_sorted(pids_j, im, num_rows=num_rows)
+        live = jnp.asarray(pids < num_rows)
+        return jnp.sum(jnp.where(live[:, None], out, 0.0) ** 2)
+
+    def loss_gather_ref(im):
+        out = jnp.take(im, jnp.minimum(pids_j, num_rows + 7), axis=0)
+        live = jnp.asarray(pids < num_rows)
+        return jnp.sum(jnp.where(live[:, None], out, 0.0) ** 2)
+
+    gi = jax.grad(loss_gather)(img)
+    gi_ref = jax.grad(loss_gather_ref)(img)
+    np.testing.assert_allclose(
+        np.asarray(gi)[:num_rows], np.asarray(gi_ref)[:num_rows], atol=1e-3
+    )
