@@ -30,6 +30,13 @@ with a constant out index map):
 
 Replaces the role of the reference's CUDA ``scatter_max``/``scatter_mean``
 voxelizers (OpenSceneFlow submodule, SURVEY.md §2.9) for the mean path.
+
+Chip A/B (v5e, B8 N65536 C32 rows 512², LiDAR-like pid mix): MXU scatter
+38.3 ns/pt vs scalar sorted-banded 31.9; MXU gather 44.5 vs XLA row-take
+42.2. The one-hot mask build ((win, 128) iota+compare per chunk) plus the
+HIGHEST-precision matmul outweigh the scalar stores saved at C=32, so the
+scalar kernels stay the default; this pair is kept (tested, differentiable)
+for wide-C / dense-stream regimes where the matmul amortizes.
 """
 
 from __future__ import annotations
@@ -101,10 +108,14 @@ def _scatter_sum_band_kernel(win: int, band_rows: int):
             @pl.when(fits_cur | fits_new)
             def _():
                 w2 = st_ref[0]
-                local = pidv_ref[0, :] - jnp.float32(lo) - jnp.float32(w2)
-                rows = jax.lax.broadcasted_iota(
-                    jnp.float32, (win, _CHUNK), 0
+                local = (
+                    pidv_ref[pl.ds(step, 1), :][0, :]
+                    - jnp.float32(lo)
+                    - jnp.float32(w2)
                 )
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (win, _CHUNK), 0
+                ).astype(jnp.float32)  # Mosaic iota must be integer
                 mask = (rows == local[None, :]).astype(jnp.float32)
                 acc_ref[:, :] += jax.lax.dot_general(
                     mask,
@@ -152,10 +163,10 @@ def _scatter_sum_call(num_rows: int, channels: int, interpret: bool):
                 num_scalar_prefetch=2,
                 grid=(n // _CHUNK,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (1, _CHUNK), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
+                    # pid vectors stay fully resident ((n/128, 128) f32, a
+                    # few hundred KB): Mosaic rejects (1, 128) sublane
+                    # blocks, and a dynamic fp32 row read is allowed.
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(
                         (_CHUNK, c), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM,
@@ -292,10 +303,14 @@ def _gather_band_kernel(win: int, band_rows: int):
             def _():
                 w = jnp.minimum((p_lo // 8) * 8, jnp.maximum(band_rows - win, 0))
                 ws = pl.multiple_of(w, 8)
-                local = pidv_ref[0, :] - jnp.float32(lo) - jnp.float32(w)
-                rows = jax.lax.broadcasted_iota(
-                    jnp.float32, (win, _CHUNK), 0
+                local = (
+                    pidv_ref[pl.ds(step, 1), :][0, :]
+                    - jnp.float32(lo)
+                    - jnp.float32(w)
                 )
+                rows = jax.lax.broadcasted_iota(
+                    jnp.int32, (win, _CHUNK), 0
+                ).astype(jnp.float32)  # Mosaic iota must be integer
                 mask = (rows == local[None, :]).astype(jnp.float32)
                 o_ref[:, :] = jax.lax.dot_general(
                     mask,
@@ -338,10 +353,7 @@ def _gather_call(num_rows: int, channels: int, interpret: bool):
                 num_scalar_prefetch=2,
                 grid=(n // _CHUNK,),
                 in_specs=[
-                    pl.BlockSpec(
-                        (1, _CHUNK), lambda i, *_: (i, 0),
-                        memory_space=pltpu.VMEM,
-                    ),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),  # pidv resident
                     pl.BlockSpec(
                         (band_rows, channels), lambda i, *_: (0, 0),
                         memory_space=pltpu.VMEM,
