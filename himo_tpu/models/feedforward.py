@@ -29,7 +29,13 @@ import jax.numpy as jnp
 from himo_tpu.models.registry import register_estimator
 from himo_tpu.ops.mxu_scatter import gather_rows_sorted, scatter_sum_sorted
 from himo_tpu.ops.nn import take_rows
-from himo_tpu.ops.voxelize import PillarConfig, gather_pillars, scatter_max, voxelize_pillars
+from himo_tpu.ops.voxelize import (
+    PillarConfig,
+    gather_pillars,
+    scatter_max,
+    scatter_max_multi,
+    voxelize_pillars,
+)
 
 
 def _take_cols(a: jax.Array, order: jax.Array) -> jax.Array:
@@ -107,6 +113,26 @@ class ConvBlock(nn.Module):
         return nn.relu(x)
 
 
+def _upsample_nearest(x, h: int, w: int):
+    """Nearest-neighbor upsample of (..., H, W, C) to (..., h, w, C).
+
+    Integer scale factors go through broadcast + reshape (pure data
+    movement XLA fuses well); ``jax.image.resize``'s gather lowering
+    measured 4.6 ms at 512x512x128 on v5e vs ~1 ms for this path. Falls
+    back to resize for non-integer ratios."""
+    xh, xw = x.shape[-3], x.shape[-2]
+    if h % xh == 0 and w % xw == 0:
+        fy, fx = h // xh, w // xw
+        if fy == fx == 1:
+            return x
+        x = jnp.broadcast_to(
+            x[..., :, None, :, None, :],
+            (*x.shape[:-3], xh, fy, xw, fx, x.shape[-1]),
+        )
+        return x.reshape(*x.shape[:-5], h, w, x.shape[-1])
+    return jax.image.resize(x, (*x.shape[:-3], h, w, x.shape[-1]), "nearest")
+
+
 class UNet(nn.Module):
     """Pseudo-image backbone with skip connections."""
 
@@ -122,12 +148,10 @@ class UNet(nn.Module):
             skips.append(x)
         for ch, skip in zip(reversed(self.depths), reversed(skips)):
             if x is not skip:
-                h, w = skip.shape[-3], skip.shape[-2]
-                x = jax.image.resize(x, (*x.shape[:-3], h, w, x.shape[-1]), "nearest")
+                x = _upsample_nearest(x, skip.shape[-3], skip.shape[-2])
                 x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(ch, self.dtype)(x)
-        full = x.shape[-3] * 2, x.shape[-2] * 2
-        x = jax.image.resize(x, (*x.shape[:-3], *full, x.shape[-1]), "nearest")
+        x = _upsample_nearest(x, x.shape[-3] * 2, x.shape[-2] * 2)
         x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(x)
         return nn.relu(x)
 
@@ -216,7 +240,10 @@ class SceneFlowNet(nn.Module):
                     [f.astype(jnp.float32), in_s.astype(jnp.float32)[:, None]],
                     axis=1,
                 )
-                out = scatter_sum_sorted(spids, aug, num_rows=hw)
+                out = scatter_sum_sorted(
+                    spids, aug, num_rows=hw,
+                    mxu_bf16=dtype == jnp.bfloat16,
+                )
                 sums, counts = out[:hw, :-1], out[:hw, -1]
                 img = sums / jnp.maximum(counts, 1.0)[:, None]
                 images.append(img.reshape(h, w, -1).astype(dtype))
@@ -225,10 +252,14 @@ class SceneFlowNet(nn.Module):
             else:
                 f = pfn(pc, grid.centers_offset, extra)
                 f = jnp.where(grid.in_range[:, None], f, 0.0)
-                images.append(scatter_max(f, grid))
+                images.append(f)  # scattered below in one fused call
             grids.append(grid)
             feats.append(f)
 
+        if not sorted_mode:
+            # One fused scatter for all sweeps: sort/band prep and launch
+            # overhead paid once (ops/voxelize.py scatter_max_multi).
+            images = scatter_max_multi(images, grids)
         x = jnp.concatenate(images, axis=-1).astype(dtype)
         out_img = UNet(cfg.depths, cfg.base_channels * 2, dtype)(x)
 
@@ -239,7 +270,8 @@ class SceneFlowNet(nn.Module):
                 [flat, jnp.zeros((8, flat.shape[1]), flat.dtype)]
             )
             pillar_feat = gather_rows_sorted(
-                spids0, flat, num_rows=hw
+                spids0, flat, num_rows=hw,
+                mxu_bf16=dtype == jnp.bfloat16,
             ).astype(dtype)
         else:
             pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)

@@ -167,3 +167,47 @@ def test_gradients_transpose_pair():
     np.testing.assert_allclose(
         np.asarray(gi)[:num_rows], np.asarray(gi_ref)[:num_rows], atol=1e-3
     )
+
+
+def test_scatter_sum_bf16_mode():
+    """mxu_bf16=True: one-hot mask is exact in bf16, feats are truncated —
+    sums must match a bf16-truncated segment_sum to fp32-accumulate slack."""
+    from himo_tpu.ops.mxu_scatter import scatter_sum_sorted
+
+    rng = np.random.default_rng(7)
+    num_rows, n, c = 8192, 4096, 32
+    pids, feats = _sorted_case(rng, num_rows, n, c, clustered=True)
+    out = np.asarray(
+        scatter_sum_sorted(
+            jnp.asarray(pids), jnp.asarray(feats), num_rows=num_rows,
+            mxu_bf16=True,
+        )
+    )
+    live = pids < num_rows
+    tr = np.asarray(
+        jnp.asarray(feats[live]).astype(jnp.bfloat16).astype(jnp.float32)
+    )
+    ref = np.asarray(
+        jax.ops.segment_sum(
+            jnp.asarray(tr), jnp.asarray(pids[live]), num_segments=num_rows
+        )
+    )
+    np.testing.assert_allclose(out[:num_rows], ref, atol=2e-2, rtol=1e-2)
+
+
+def test_gather_bf16_mode():
+    from himo_tpu.ops.mxu_scatter import gather_rows_sorted
+
+    rng = np.random.default_rng(8)
+    num_rows, n, c = 4096, 2048, 16
+    pids, _ = _sorted_case(rng, num_rows, n, c, clustered=True)
+    img = rng.normal(size=(num_rows + 8, c)).astype(np.float32)
+    out = np.asarray(
+        gather_rows_sorted(
+            jnp.asarray(pids), jnp.asarray(img), num_rows=num_rows,
+            mxu_bf16=True,
+        )
+    )
+    live = pids < num_rows
+    tr = np.asarray(jnp.asarray(img).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(out[live], tr[pids[live]], atol=1e-6)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from himo_tpu.ops.nn import (
@@ -412,3 +413,77 @@ class TestFusedChamfer:
         assert np.isfinite(float(a)) and np.isfinite(float(d))
         g = jax.grad(lambda q: fused_chamfer_terms(q, r, v0, v1, *zeros_d)[1])(q)
         assert np.isfinite(np.asarray(g)).all()
+
+
+class TestScatterMaxMulti:
+    def test_matches_separate_scatters(self, monkeypatch):
+        from himo_tpu.ops.voxelize import scatter_max_multi
+
+        monkeypatch.setenv("HIMO_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(11)
+        cfg = PillarConfig(
+            x_range=(-8.0, 8.0), y_range=(-8.0, 8.0), voxel_size=(0.5, 0.5)
+        )
+        feats_list, grids = [], []
+        for k in range(3):
+            pts = rng.uniform(-9.0, 9.0, size=(600, 3)).astype(np.float32)
+            pts[:, 2] = 0.0
+            valid = rng.random(600) > 0.1
+            grids.append(voxelize_pillars(jnp.asarray(pts), jnp.asarray(valid), cfg))
+            feats_list.append(
+                jnp.asarray(rng.normal(size=(600, 8)).astype(np.float32))
+            )
+        fused = scatter_max_multi(feats_list, grids)
+        for f, g, img in zip(feats_list, grids, fused):
+            ref = np.asarray(scatter_max(f, g))
+            np.testing.assert_allclose(np.asarray(img), ref, atol=1e-5)
+
+    def test_gradients_match_separate(self, monkeypatch):
+        from himo_tpu.ops.voxelize import scatter_max_multi
+
+        monkeypatch.setenv("HIMO_PALLAS_INTERPRET", "1")
+        rng = np.random.default_rng(12)
+        cfg = PillarConfig(
+            x_range=(-4.0, 4.0), y_range=(-4.0, 4.0), voxel_size=(0.5, 0.5)
+        )
+        pts = [
+            rng.uniform(-3.9, 3.9, size=(300, 3)).astype(np.float32)
+            for _ in range(2)
+        ]
+        for p in pts:
+            p[:, 2] = 0.0
+        grids = [voxelize_pillars(jnp.asarray(p), config=cfg) for p in pts]
+        feats = [
+            jnp.asarray(rng.normal(size=(300, 4)).astype(np.float32))
+            for _ in range(2)
+        ]
+
+        def loss_fused(fs):
+            imgs = scatter_max_multi(fs, grids)
+            return sum(jnp.sum(i**2) for i in imgs)
+
+        def loss_sep(fs):
+            return sum(jnp.sum(scatter_max(f, g) ** 2) for f, g in zip(fs, grids))
+
+        g_fused = jax.grad(loss_fused)(feats)
+        g_sep = jax.grad(loss_sep)(feats)
+        for a, b in zip(g_fused, g_sep):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+class TestUpsampleNearest:
+    def test_matches_resize(self):
+        from himo_tpu.models.feedforward import _upsample_nearest
+
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 5)).astype(np.float32))
+        fast = _upsample_nearest(x, 16, 16)
+        ref = jax.image.resize(x, (2, 16, 16, 5), "nearest")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=0)
+
+    def test_non_integer_ratio_falls_back(self):
+        from himo_tpu.models.feedforward import _upsample_nearest
+
+        x = jnp.ones((4, 6, 3))
+        out = _upsample_nearest(x, 9, 9)
+        assert out.shape == (9, 9, 3)
