@@ -27,8 +27,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 SENTINEL = 1.0e6  # coordinates of padded rows; ~1e12 squared distance
 _QT = 128  # query tile (one VMEM sublane-dim tile)
-_RT = 512  # reference tile
+# Reference tile: env-tunable (HIMO_NN_RT) — larger tiles amortize per-grid-
+# step overhead at more VMEM per block; read once at import so every padding
+# site in a process agrees.
+import os as _os
+
+_RT = int(_os.environ.get("HIMO_NN_RT", "512"))
 _K = 8  # coordinate lanes after padding (3 real + 5 zero)
+
+
+def _argmin_lanes(mat, vals):
+    """Index of the per-row min along the LANE axis, given ``vals`` =
+    ``min(mat, axis=1)``: compare + iota + int-min. Mosaic lowers
+    ``jnp.argmin`` to a variadic cross-lane reduce that measured ~2x the
+    plain min pass (TODO.md); this form is three cheap VPU passes and
+    keeps argmin's first-minimum tie rule."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 1)
+    hit = mat <= vals[:, None]
+    return jnp.min(jnp.where(hit, lane, jnp.int32(2**30)), axis=1)
+
+
+def _argmin_sublanes(mat, vals):
+    """Same for the SUBLANE axis (per-column argmin)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0)
+    hit = mat <= vals[None, :]
+    return jnp.min(jnp.where(hit, row, jnp.int32(2**30)), axis=0)
 
 
 def _pad_coords(pts: jax.Array, tile: int, valid: jax.Array | None) -> jax.Array:
@@ -154,7 +177,7 @@ def _nn_idx_kernel(q_ref, r_ref, d_ref, i_ref):
     rn = jnp.sum(r * r, axis=1)[None, :]
     d2 = qn + rn - 2.0 * dot
     tile_min = jnp.min(d2, axis=1)
-    tile_arg = jnp.argmin(d2, axis=1).astype(jnp.int32) + j * _RT
+    tile_arg = _argmin_lanes(d2, tile_min) + j * _RT
 
     @pl.when(j == 0)
     def _():
@@ -451,7 +474,7 @@ def _fused_nn_kernel(track_idx: bool):
 
             def fold_row_idx(o_ref, i_ref, mat, first):
                 vals = jnp.min(mat, axis=1)
-                args = jnp.argmin(mat, axis=1).astype(jnp.int32) + j * _RT
+                args = _argmin_lanes(mat, vals) + j * _RT
 
                 @pl.when(first)
                 def _():
@@ -466,7 +489,7 @@ def _fused_nn_kernel(track_idx: bool):
 
             def fold_col_idx(o_ref, i_ref, mat, first):
                 vals = jnp.min(mat, axis=0)
-                args = jnp.argmin(mat, axis=0).astype(jnp.int32) + i * _QT
+                args = _argmin_sublanes(mat, vals) + i * _QT
 
                 @pl.when(first)
                 def _():

@@ -501,7 +501,13 @@ def _diff_scatter_sorted_fn(num_rows: int, combine: str, interpret: bool = False
             # per-row latency-bound, so width is nearly free while a second
             # take doubles the cost.
             c = feats.shape[1]
-            both = jnp.take(jnp.concatenate([g, out], axis=1), pids, axis=0)
+            both_img = jnp.concatenate([g, out], axis=1)
+            if _maxbwd_pallas():
+                both = _sorted_gather_forward(
+                    pids, both_img, num_rows=num_rows, interpret=interpret
+                )
+            else:
+                both = jnp.take(both_img, pids, axis=0)
             winner = feats == both[:, c:]
             dfeat = jnp.where(winner, both[:, :c], 0.0)
         else:
@@ -510,6 +516,17 @@ def _diff_scatter_sorted_fn(num_rows: int, combine: str, interpret: bool = False
 
     core.defvjp(fwd, bwd)
     return core
+
+
+def _maxbwd_pallas() -> bool:
+    """Route the scatter-max backward's fused (g, out) row-take through the
+    sorted-banded Pallas gather instead of XLA's take. A/B toggle: the XLA
+    take measured ~42 ns/pt vs the ~21 ns/pt Pallas scalar floor on one
+    chip microbench, but tunnel timing noise is large — flip
+    HIMO_MAXBWD_PALLAS to compare on real workloads."""
+    import os
+
+    return os.environ.get("HIMO_MAXBWD_PALLAS", "0") == "1"
 
 
 def _scatter_rows_pallas(pids, feats, *, num_rows: int, combine: str = "max"):

@@ -487,3 +487,28 @@ class TestUpsampleNearest:
         x = jnp.ones((4, 6, 3))
         out = _upsample_nearest(x, 9, 9)
         assert out.shape == (9, 9, 3)
+
+
+def test_scatter_max_bwd_pallas_route(monkeypatch):
+    """HIMO_MAXBWD_PALLAS=1 must produce identical max-scatter gradients."""
+    from himo_tpu.ops.voxelize import _band_partition, _diff_scatter_sorted_fn
+
+    monkeypatch.setenv("HIMO_PALLAS_INTERPRET", "1")
+    num_rows, c = 262144, 33  # 512^2-style, multi-band
+    assert _band_partition(num_rows, c)[0] >= 2
+    rng = np.random.default_rng(21)
+    n = 4096
+    pids = jnp.asarray(rng.integers(0, num_rows, size=n).astype(np.int32))
+    feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+
+    def loss(f, interp):
+        out = _diff_scatter_sorted_fn(num_rows, "max", interp)(pids, f)
+        return jnp.sum(out[:num_rows] ** 2)
+
+    g_xla = jax.grad(lambda f: loss(f, True))(feats)
+    monkeypatch.setenv("HIMO_MAXBWD_PALLAS", "1")
+    _diff_scatter_sorted_fn.cache_clear()
+    g_pl = jax.grad(lambda f: loss(f, True))(feats)
+    monkeypatch.delenv("HIMO_MAXBWD_PALLAS")
+    _diff_scatter_sorted_fn.cache_clear()
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), atol=1e-5)
