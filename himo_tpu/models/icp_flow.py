@@ -300,18 +300,22 @@ class ClusterTracker:
     """
 
     def __init__(self, max_coast: int = 2):
-        self.tracks = []  # {"pos_w": (3,), "delta_w": (3,), "age": int}
+        # {"pos_w": (3,), "delta_w": (3,), "age": int, "hits": int}
+        self.tracks = []
         self.max_coast = max_coast
 
     def predict(self, pose1: np.ndarray) -> list:
-        """Per track: (position, delta) expressed in the current frame pair's
-        pc1-ego frame (the matcher's coordinates). ``pose1`` = world <- ego1."""
+        """Per track: (position, delta, confirmed) with position/delta in
+        the current frame pair's pc1-ego frame (the matcher's coordinates);
+        ``confirmed`` = the track agreed with an accepted match on >= 2
+        consecutive frames. ``pose1`` = world <- ego1."""
         R = np.asarray(pose1[:3, :3], np.float64)
         t = np.asarray(pose1[:3, 3], np.float64)
         return [
             (
                 (R.T @ (tr["pos_w"] - t)).astype(np.float32),
                 (R.T @ tr["delta_w"]).astype(np.float32),
+                tr["hits"] >= 1,
             )
             for tr in self.tracks
         ]
@@ -321,17 +325,29 @@ class ClusterTracker:
         unconfirmed remainder. ``assigned`` = (centroid_ego1, delta_ego1)
         pairs; the stored position is the PREDICTED next-frame location
         (centroid + delta), which is what the next pair's pc0 clusters sit
-        at."""
+        at. A new track inherits ``hits + 1`` from an old track it agrees
+        with (predicted position within 1.5 m AND delta within 0.6 m) —
+        that confirmation is what gates the matcher's ranking preference,
+        so a wrong single-frame match at a scene start cannot outrank
+        geometry on the very next frame (it must win independently once
+        more before its track does)."""
         R = np.asarray(pose1[:3, :3], np.float64)
         t = np.asarray(pose1[:3, 3], np.float64)
-        new = [
-            {
-                "pos_w": R @ (np.asarray(c, np.float64) + np.asarray(d, np.float64)) + t,
-                "delta_w": R @ np.asarray(d, np.float64),
-                "age": 0,
-            }
-            for c, d in assigned
-        ]
+        new = []
+        for c, d in assigned:
+            pos_w = R @ (np.asarray(c, np.float64) + np.asarray(d, np.float64)) + t
+            delta_w = R @ np.asarray(d, np.float64)
+            hits = 0
+            for tr in self.tracks:
+                pred = tr["pos_w"] + tr["delta_w"]
+                if (
+                    np.linalg.norm(pred - pos_w) < 1.5
+                    and np.linalg.norm(tr["delta_w"] - delta_w) < 0.6
+                ):
+                    hits = max(hits, tr["hits"] + 1)
+            new.append(
+                {"pos_w": pos_w, "delta_w": delta_w, "age": 0, "hits": hits}
+            )
         for tr in self.tracks:
             if tr["age"] + 1 > self.max_coast:
                 continue
@@ -339,7 +355,12 @@ class ClusterTracker:
             if any(np.linalg.norm(pred - n["pos_w"]) < 1.5 for n in new):
                 continue  # confirmed (or superseded) by a fresh track
             new.append(
-                {"pos_w": pred, "delta_w": tr["delta_w"], "age": tr["age"] + 1}
+                {
+                    "pos_w": pred,
+                    "delta_w": tr["delta_w"],
+                    "age": tr["age"] + 1,
+                    "hits": tr["hits"],
+                }
             )
         self.tracks = new
 
@@ -385,11 +406,15 @@ def recover_split_translations(
     over disjoint point subsets instead of one wrong average.
 
     Every candidate is refined and scored on the FULL cluster first; claims
-    are then made disjointly in DESCENDING inlier count. Order matters: a
-    blend delta between two merged objects' motions scores mid-pack
-    inliers (the smear admits partial matches from both members), and
-    claiming best-first lets the two true deltas absorb the points so the
-    blend's residual claim falls below ``min_points`` and dies.
+    are then made disjointly by GREEDY TOTAL-RESIDUAL GAIN: each round the
+    candidate whose claim would reduce the unassigned points' residuals
+    the most (sum of ``r_in - residual`` over its inliers) claims them.
+    Inlier COUNT is the wrong order — a blend delta between two merged
+    objects' motions aligns nearly ALL points at mediocre residual (the
+    smear admits partial matches from both members), so it out-counts
+    either true delta; but a true delta takes its own object's residuals
+    to ~0, so per-point GAIN favors the true deltas and the blend's
+    leftover claim falls below ``min_points`` and dies.
 
     Returns a list of ``(delta (3,) float32, local_mask (len(pts0),) bool)``
     in claim order; masks are disjoint."""
@@ -399,7 +424,7 @@ def recover_split_translations(
         return []
     dt0 = None if dt0 is None else np.asarray(dt0)
     cands = (
-        list(track_deltas)
+        [np.asarray(td) for td, _ in track_deltas]
         + list(extra_candidates)
         + _histogram_delta_candidates(
             pts0, pool1, match_gate, top_k=max_candidates,
@@ -407,31 +432,76 @@ def recover_split_translations(
         )
     )
 
-    def inliers_of(delta):
+    # ONE claim radius for every candidate, from the RAW pool's spacing.
+    # Candidate-dependent radii are a perverse incentive: de-smearing with
+    # the TRUE delta compacts the smear (denser pool, smaller radius, lower
+    # gain) while a wrong delta leaves it smeared (inflated radius/gain) —
+    # measured flipping a 34 m/s object's claim to a slow neighbor's delta.
+    # Spacing-scaled radii/tolerances are CAPPED at 1.0 m: they exist so
+    # genuinely sparse objects (0.4-0.8 m returns at range) still match, but
+    # uncapped they lose all discriminative power on subsample-artifact
+    # junk — at ~1.4 m spacing the tolerance reaches ~2.4 m and ANY wrong
+    # pairing verifies (measured: junk false-dynamic clusters poisoning
+    # static points with >=1 m priors on 2048-point clouds).
+    r_in = min(max(verify_tol, 1.5 * _cluster_spacing(pool1)), 1.0)
+
+    def residuals_of(delta):
+        """Per-point NN residual of the de-smeared aligned cluster into the
+        de-smeared pool. Delta-INSENSITIVE pairs are marked inf: a pc0
+        point at sweep time ``dt0 ~ period`` matched to a pc1 point at
+        ``dt1 ~ 0`` has de-smear scale ``1 + (dt1 - dt0)/period ~ 0`` — its
+        positions coincide under ANY delta (the object really is at the
+        same place at both capture times), so it carries no delta evidence
+        and must not vote, claim, or seed ghost tracks (measured: a
+        spurious delta claiming exactly such a slice of a 25 m/s convoy
+        pair, then outliving it as a track). They are backfilled spatially
+        after assignment. Returns (gated, raw) residuals: the RAW ones
+        still define refinement inliers — under the true delta an
+        insensitive pair is a perfectly good geometric correspondence, and
+        dropping a systematic dt tail biases the sweep-time regression
+        (measured +0.11 m median prior error)."""
         aligned = _desmear(pts0, dt0, delta, period) + delta
         q1 = _desmear(pool1, pool_dt1, delta, period)
-        r_in = max(verify_tol, 1.5 * _cluster_spacing(q1))
-        return nn_residual_distances(aligned, q1) <= r_in
+        if dt0 is None or pool_dt1 is None:
+            d = nn_residual_distances(aligned, q1)
+            return d, d
+        dist, idx = _nn_query_fn(q1)(aligned)
+        sens = np.abs(
+            1.0 + (np.asarray(pool_dt1, np.float32)[idx] - dt0) / period
+        )
+        gated = np.where(sens >= 0.35, dist, np.inf).astype(np.float32)
+        return gated, np.asarray(dist, np.float32)
 
-    evaluated = []  # (inlier_count, err, delta, inlier_mask)
+    evaluated = []  # (delta, per-point residuals)
     for cand in cands:
-        delta = _refine_translation(
-            pts0, pool1, cand, dt0=dt0, dt1=pool_dt1, period=period
-        )
-        inl = inliers_of(delta)
+        # Claim the RAW candidate's inlier subset before ANY refinement:
+        # refining on the full (possibly merged multi-object) cluster first
+        # drifts every candidate toward a blend of the members' motions —
+        # the trimmed regression keeps pairs from both objects — and the
+        # blend then claims a mixed subset. Histogram candidates are
+        # bin-accurate (+-0.25 m), inside the claim radius, so the raw
+        # subset is already object-pure; two refine/re-inlier rounds then
+        # converge on that object alone.
+        res, res_raw = residuals_of(np.asarray(cand, np.float32))
+        inl = res_raw <= r_in
         if inl.sum() < min_points:
             continue
-        # Re-refine on the inlier subset only, then verify two-sided against
-        # the pool points inside the aligned subset's bbox — a merged
-        # neighbor object outside the box cannot inflate the residual.
-        ipts = pts0[inl]
-        idt = None if dt0 is None else dt0[inl]
-        delta = _refine_translation(
-            ipts, pool1, delta, dt0=idt, dt1=pool_dt1, period=period
-        )
-        inl = inliers_of(delta)
+        delta = np.asarray(cand, np.float32)
+        for _ in range(2):
+            ipts = pts0[inl]
+            idt = None if dt0 is None else dt0[inl]
+            delta = _refine_translation(
+                ipts, pool1, delta, dt0=idt, dt1=pool_dt1, period=period
+            )
+            res, res_raw = residuals_of(delta)
+            inl = res_raw <= r_in
+            if inl.sum() < min_points:
+                break
         if inl.sum() < min_points:
             continue
+        # Verify two-sided against the pool points inside the aligned
+        # subset's bbox — a merged neighbor object outside the box cannot
+        # inflate the residual.
         ipts = pts0[inl]
         idt = None if dt0 is None else dt0[inl]
         aligned = _desmear(ipts, idt, delta, period) + delta
@@ -445,40 +515,148 @@ def recover_split_translations(
         err = _pair_alignment_error(
             ipts, win, delta, dt0=idt, dt1=win_dt, period=period, trim=trim
         )
-        tol = max(verify_tol, spacing_factor * _cluster_spacing(win))
+        tol = min(max(verify_tol, spacing_factor * _cluster_spacing(win)), 1.0)
         if err > tol:
             continue
-        evaluated.append((int(inl.sum()), err, delta.astype(np.float32), inl))
+        evaluated.append((delta.astype(np.float32), res, res_raw))
 
-    # Claim order: track-consistent candidates outrank everything (velocity
-    # continuity is the only signal that separates convoy-aliased swaps from
-    # true matches — both verify geometrically); then inlier count bucketed
-    # to 10% of the best (count noise between a true delta and a blend is
-    # within that), then err + a 0.05/m motion-magnitude penalty.
+    # Delta SELECTION runs on the GATED residuals; point ASSIGNMENT on the
+    # RAW ones. Selection by gated gain kills ghost deltas (their only
+    # support is delta-insensitive pairs, which carry no delta evidence);
+    # but a point whose matched pair is gated under the TRUE delta must
+    # still be contested with its raw residual, or a spurious delta with a
+    # finite marginal residual wins the argmin by default (measured: a
+    # 0.94 m-off second delta claiming a third of a single object).
+    #
+    # CONFIRMED-track-consistent candidates claim before everything else
+    # (velocity continuity is the only signal that separates convoy-aliased
+    # swaps from true matches — both verify geometrically; unconfirmed
+    # 1-frame-old tracks only SEED candidates, they don't outrank, so a
+    # wrong scene-start match cannot self-perpetuate). Within a tier,
+    # greedy max-GAIN (sum of ``r_in - residual`` over would-be claims)
+    # with a tiny 0.05/m motion-magnitude tie-break toward the physically
+    # nearer explanation. (An exact facility-location set selection was
+    # tried here and measured WORSE: on smeared objects alias deltas fit
+    # interior points at noise level, so set costs cannot separate blends
+    # from true pairs any better than the greedy while losing the
+    # unique-support guard's crispness.)
     def _track_consistent(delta):
         return any(
-            float(np.linalg.norm(delta - np.asarray(td))) <= 0.6
-            for td in track_deltas
+            conf and float(np.linalg.norm(delta - np.asarray(td))) <= 0.6
+            for td, conf in track_deltas
         )
 
-    if evaluated:
-        bucket = max(1, int(0.1 * max(s[0] for s in evaluated)))
-        evaluated.sort(
-            key=lambda s: (
-                not _track_consistent(s[2]),
-                -(s[0] // bucket),
-                s[1] + 0.05 * float(np.linalg.norm(s[2])),
-            )
-        )
-    out = []
+    out = []  # (delta, claim, gated res, raw res, tier_confirmed)
     unassigned = np.ones(len(pts0), bool)
-    for _, _, delta, inl in evaluated:
-        claim = inl & unassigned
-        if claim.sum() < min_points:
-            continue
-        out.append((delta, claim))
-        unassigned &= ~claim
-    return out
+    # Best raw residual under any ACCEPTED delta so far: each additional
+    # delta must have UNIQUE SUPPORT — >= min_points whose accepted
+    # explanation clearly fails (raw residual > 1.5 x the claim radius).
+    # On an extended smeared object a delta wrong by ``e`` is point-wise
+    # unfalsifiable (every interior point matches a surface spot offset by
+    # ``e`` at ~sampling noise; measured claims spanning the full dt
+    # range), so it would otherwise ride the accepted delta's residual
+    # noise tail into acceptance and steal ~30% of the object in the
+    # argmin. Only the ``|e|``-wide EDGE strip falsifies it — and that is
+    # exactly what unique support measures: a real second object in a
+    # merged cluster has hundreds of unexplained points, a smear alias has
+    # none.
+    prev_best = np.full(len(pts0), np.inf, np.float32)
+    for tier_confirmed in (True, False):
+        pool = [
+            e for e in evaluated if _track_consistent(e[0]) == tier_confirmed
+        ]
+        while pool:
+            best_gain, best_ix = -np.inf, -1
+            for ix, (delta, res, res_raw) in enumerate(pool):
+                claim = (res <= r_in) & unassigned
+                unique = claim & (prev_best > 1.5 * r_in)
+                if unique.sum() < min_points:
+                    continue
+                gain = float((r_in - res[claim]).sum())
+                gain -= 0.05 * float(np.linalg.norm(delta))
+                if gain > best_gain:
+                    best_gain, best_ix = gain, ix
+            if best_ix < 0:
+                break
+            delta, res, res_raw = pool.pop(best_ix)
+            claim = (res_raw <= r_in) & unassigned
+            out.append((delta, claim, res, res_raw, tier_confirmed))
+            unassigned &= ~claim
+            prev_best = np.minimum(prev_best, res_raw)
+    if len(out) > 1:
+        # Point-level reassignment. Claim ORDER grabs marginal points of a
+        # neighboring merged object before that object's own delta gets its
+        # turn, so each claimed point is re-contested:
+        # - TIER precedence survives: a point any CONFIRMED-track delta can
+        #   claim is contested only among confirmed deltas — convoy
+        #   aliasing lets an unconfirmed delta align a cross-object smear
+        #   slice at genuinely lower residual, and only velocity continuity
+        #   overrules that.
+        # - UNAMBIGUOUS points (one candidate, or the best raw residual
+        #   leads the runner-up by >= 0.15 m) go to their argmin delta.
+        # - AMBIGUOUS points — near-ties, including delta-insensitive
+        #   pairs whose residual is ~0 under every delta — go to the owner
+        #   whose DE-SMEARED space places them nearest that owner's
+        #   unambiguous body: the true owner's de-smear collapses its
+        #   object to a compact rigid shape that contains the point, while
+        #   a wrong owner's leaves it away from its body (raw argmin on
+        #   crossing smears misassigned 9-21% of two merged objects'
+        #   points; body proximity resolves them).
+        # Entries that shrink below ``min_points`` fall away.
+        all_raw = np.stack([rr for _, _, _, rr, _ in out])  # (n_del, n_pts)
+        all_gated = np.stack([r for _, _, r, _, _ in out])
+        claimed = np.stack([c for _, c, _, _, _ in out]).any(0)
+        claimable = all_raw <= r_in
+        conf_rows = np.asarray([k for k, e in enumerate(out) if e[4]])
+        if len(conf_rows):
+            conf_any = claimable[conf_rows].any(0)
+            tier_mask = np.where(
+                conf_any[None, :],
+                np.isin(np.arange(len(out)), conf_rows)[:, None],
+                True,
+            )
+            claimable = claimable & tier_mask
+        raw_masked = np.where(claimable, all_raw, np.inf)
+        order = np.argsort(raw_masked, axis=0)
+        best = order[0]
+        best_r = np.take_along_axis(raw_masked, best[None], 0)[0]
+        second_r = (
+            np.take_along_axis(raw_masked, order[1][None], 0)[0]
+            if len(out) > 1 else np.full(len(pts0), np.inf)
+        )
+        n_cand = claimable.sum(0)
+        # n_cand >= 2 guarantees a finite runner-up; elsewhere the margin
+        # is irrelevant (inf - inf would warn), so compute it guarded.
+        margin = np.where(n_cand >= 2, second_r - np.where(n_cand >= 2, best_r, 0.0), np.inf)
+        ambiguous = claimed & (n_cand >= 2) & (margin < 0.15)
+        owners = np.where(claimed & ~ambiguous & (n_cand >= 1), best, -1)
+        amb_ix = np.flatnonzero(ambiguous)
+        if len(amb_ix):
+            bf_dist = np.full((len(out), len(amb_ix)), np.inf, np.float32)
+            for k, (delta, _, _, _, _) in enumerate(out):
+                body_m = (owners == k) & np.isfinite(all_gated[k])
+                if body_m.sum() < 3:
+                    continue
+                idt_b = None if dt0 is None else dt0[body_m]
+                idt_q = None if dt0 is None else dt0[amb_ix]
+                body = _desmear(pts0[body_m], idt_b, delta, period)
+                q = _desmear(pts0[amb_ix], idt_q, delta, period)
+                d_k, _ = _nn_query_fn(body)(q)
+                bf_dist[k] = np.where(claimable[k][amb_ix], d_k, np.inf)
+            has_body = np.isfinite(bf_dist).any(0)
+            owners[amb_ix[has_body]] = np.argmin(bf_dist, axis=0)[has_body]
+            # Ambiguous points with no resolvable body fall back to argmin.
+            rest = amb_ix[~has_body]
+            owners[rest] = best[rest]
+        reassigned = []
+        for k, (delta, _, res, res_raw, conf) in enumerate(out):
+            mask = owners == k
+            if mask.sum() >= min_points:
+                reassigned.append((delta, mask, res, res_raw, conf))
+        if reassigned:
+            out = reassigned
+    final = [(delta, claim) for delta, claim, _, _, _ in out]
+    return final
 
 
 def match_cluster_translations(
@@ -545,16 +723,17 @@ def match_cluster_translations(
     cents0 = np.stack([p.mean(0) for p in pts0])
 
     def tracks_near(i):
-        """Deltas of tracks (ClusterTracker.predict output) whose predicted
-        position falls on cluster i — distance to the cluster's POINTS, not
-        its centroid: a density-adaptively merged multi-object cluster has
-        its centroid between the members, farther from each track than any
-        gate that would still reject neighboring objects' tracks."""
+        """(delta, confirmed) of tracks (ClusterTracker.predict output)
+        whose predicted position falls on cluster i — distance to the
+        cluster's POINTS, not its centroid: a density-adaptively merged
+        multi-object cluster has its centroid between the members, farther
+        from each track than any gate that would still reject neighboring
+        objects' tracks."""
         if not track_priors:
             return []
         return [
-            d
-            for p, d in track_priors
+            (d, conf)
+            for p, d, conf in track_priors
             if float(
                 np.linalg.norm(pts0[i][:, :3] - p[None, :3], axis=1).min()
             )
@@ -592,38 +771,49 @@ def match_cluster_translations(
                     pts0[i], pts1[j], delta,
                     dt0=dts0[i], dt1=dts1[j], period=period, trim=trim,
                 )
-                tol = max(verify_tol, spacing_factor * spacing1[j])
+                tol = min(max(verify_tol, spacing_factor * spacing1[j]), 1.0)
                 if err <= tol:
                     candidates.append((err, i, j, delta))
-        # Greedy by err + a small motion-magnitude penalty (0.05 per meter):
-        # two identical vehicles in convoy are geometrically interchangeable
-        # (same shape, same velocity → same smear), so pure-err ordering
-        # cross-matches them on residual noise — measured 3.4-4.2 m swapped
-        # deltas. The penalty deterministically prefers the physically
-        # nearer explanation while staying below genuine err differences;
-        # track-consistent candidates (velocity continuity) outrank both.
-        def _cand_key(c):
-            err_, i_, _, delta_ = c
-            consistent = any(
-                float(np.linalg.norm(delta_ - td)) <= 0.6
-                for td in tracks_near(i_)
-            )
-            return (
-                not consistent,
-                err_ + 0.05 * float(np.linalg.norm(delta_)),
-            )
-
-        candidates.sort(key=_cand_key)
+        # GLOBAL min-cost assignment over the verified candidate graph.
+        # Cost = err + a 0.05/m motion-magnitude penalty; two identical
+        # vehicles in convoy are geometrically interchangeable (same shape,
+        # same velocity -> same smear), and the old greedy accept could
+        # cross-match them on residual noise (measured 3.4-4.2 m swapped
+        # deltas). The swap is globally inconsistent: shifting the whole
+        # chain by one leaves the last vehicle unmatched, so a
+        # maximum-matching assignment (any real cost << NO_MATCH) prefers
+        # the identity mapping structurally — including at SCENE STARTS
+        # where no track exists yet. CONFIRMED-track-consistent pairs get a
+        # large discount (velocity continuity outranks geometry; 1-frame-old
+        # unconfirmed tracks deliberately don't).
         used1 = set()
-        for err, i, j, delta in candidates:
-            if i in used0 or j in used1:
-                continue
-            used0.add(i)
-            used1.add(j)
-            if i < max_clusters:
-                init_t[i] = delta
-                matched[i] = True
-                used_pairs[i] = j
+        if candidates:
+            NO_MATCH = 1.0e6
+            cost = np.full((n0, n1), NO_MATCH, np.float64)
+            by_pair = {}
+            for err, i, j, delta in candidates:
+                consistent = any(
+                    conf and float(np.linalg.norm(delta - td)) <= 0.6
+                    for td, conf in tracks_near(i)
+                )
+                c_ = err + 0.05 * float(np.linalg.norm(delta))
+                if consistent:
+                    c_ -= 100.0
+                if c_ < cost[i, j]:
+                    cost[i, j] = c_
+                    by_pair[(i, j)] = delta
+            from scipy.optimize import linear_sum_assignment
+
+            rows, cols = linear_sum_assignment(cost)
+            for i, j in zip(rows, cols):
+                if cost[i, j] >= NO_MATCH:
+                    continue
+                used0.add(i)
+                used1.add(j)
+                if i < max_clusters:
+                    init_t[i] = by_pair[(i, j)]
+                    matched[i] = True
+                    used_pairs[i] = j
 
     if recover_dynamic1 is not None:
         dyn_ix = np.flatnonzero(np.asarray(recover_dynamic1, bool))

@@ -47,7 +47,7 @@ def nn_residual_distances(pc0_comp: np.ndarray, pc1: np.ndarray) -> np.ndarray:
 
 
 def adaptive_dynamic_threshold(
-    d: np.ndarray, base: float = 0.18, factor: float = 3.0
+    d: np.ndarray, base: float = 0.18, factor: float = 2.5
 ) -> float:
     """Density-aware dynamic threshold.
 
@@ -56,7 +56,11 @@ def adaptive_dynamic_threshold(
     flagged dynamic (measured on the 8192-point subsampled benchmark:
     ~2500 background false positives, object clusters merged with noise).
     Static points dominate every automotive frame, so ``factor`` x the median
-    residual separates movers from sampling noise at any density."""
+    residual separates movers from sampling noise at any density.
+    ``factor`` trades recall on smeared movers (whose self-overlap hides
+    half the body just under the cut) against static false positives; 2.5
+    keeps a 15 m/s object's body majority-flagged while the 5-NN coherence
+    prune in :func:`dynamic_mask_from_nn` absorbs the extra scatter."""
     d = d[np.isfinite(d)]
     if len(d) == 0:
         return base
@@ -68,16 +72,40 @@ def dynamic_mask_from_nn(
     pc1: np.ndarray,
     threshold: float = 0.18,
     adaptive: bool = True,
+    coherent: bool = True,
 ) -> np.ndarray:
     """Points of pc0_comp with no near neighbor in pc1.
 
     ``adaptive=True`` raises the threshold on sparse clouds (see
     :func:`adaptive_dynamic_threshold`); ``threshold`` is the dense-cloud
-    floor either way."""
+    floor either way.
+
+    ``coherent=True`` additionally requires a candidate's pc0 neighborhood
+    to agree (majority of its 5 nearest points also over threshold).
+    Movers move together, so true dynamic points sit in coherent blobs; on
+    subsampled clouds the raw test is dominated by SCATTERED false
+    positives — static points whose pc1 counterpart was dropped by the
+    subsample (measured: 520 of 577 flags were isolated statics at 2048
+    pts/cloud, and every density-adaptive clusterer happily turns such
+    scatter into junk clusters that then poison the prior matching)."""
     d = nn_residual_distances(pc0_comp, pc1)
     if adaptive:
         threshold = adaptive_dynamic_threshold(d, base=threshold)
-    return d > threshold
+    dyn = d > threshold
+    if coherent and dyn.any() and len(pc0_comp) > 6:
+        from scipy.spatial import cKDTree
+
+        # Coherence prune over the 5-NN graph. Columns 1..5 are the 5
+        # nearest OTHER points (column 0 is self): a flag with <= 1
+        # dynamic neighbor is isolated scatter. (A hole-FILL pass was
+        # tried for the interleaved under-threshold pattern of smeared
+        # objects and measured net-negative: it bled object priors onto
+        # touching structures; the lower adaptive factor recovers that
+        # recall instead.)
+        _, idx = cKDTree(pc0_comp[:, :3]).query(pc0_comp[:, :3], k=6)
+        votes = dyn[np.asarray(idx)[:, 1:]].sum(1)
+        return dyn & (votes >= 2)
+    return dyn
 
 
 def _dbscan_adaptive(
@@ -87,18 +115,39 @@ def _dbscan_adaptive(
     spacing_mult: float = 2.5,
     eps_cap: float = 1.6,
 ) -> np.ndarray:
-    """Density-adaptive DBSCAN: eps scales with the measured point spacing.
+    """Density-adaptive clustering of dynamic points.
 
-    A fixed eps silently breaks on sparse clouds: at ~0.45 m point spacing
-    (objects at range / sparse returns) eps=0.6 clusters NOTHING — measured
-    72 of 156 fast benchmark objects unclustered for exactly this reason —
-    and even at ~0.3 m spacing it shatters objects into 3-7 fragments whose
-    tiny pieces then mis-match (a 5-point fragment aligns anywhere).
-    ``eps = max(eps, spacing_mult * median NN spacing)`` keeps dense-scene
-    separation (the floor binds) while sparse frames cluster whole objects.
-    Sparse frames may merge adjacent objects — the matcher's split-recovery
-    stage (models/icp_flow.recover_split_translations) handles those.
-    Returns sklearn-style raw labels (-1 = noise)."""
+    Default: HDBSCAN (excess-of-mass selection) — per-CLUSTER density
+    adaptation, which a single global eps cannot provide: a 34 m/s object's
+    rolling-shutter smear stretches it over >3 m/frame at ~0.4-1.0 m
+    internal spacing while dense slow movers in the same frame sit at
+    ~0.3 m, so any one eps either shatters the smear (measured: 10+
+    fragments, half the points noise) or merges the dense scene. This is
+    also the reference's choice — SeFlow's label pipeline clusters with
+    HDBSCAN (inside the absent OpenSceneFlow submodule; SURVEY §2.9).
+
+    Fallback (sklearn < 1.3 without HDBSCAN): DBSCAN with
+    ``eps = clip(spacing_mult * median NN spacing, eps, eps_cap)`` — global
+    adaptation only; keeps dense-scene separation while sparse frames still
+    cluster whole objects. Returns sklearn-style raw labels (-1 = noise)."""
+    try:
+        from sklearn.cluster import HDBSCAN
+
+        kw = dict(
+            min_cluster_size=max(int(min_samples), 2),
+            cluster_selection_method="eom",
+            copy=True,
+        )
+        labels = HDBSCAN(**kw).fit_predict(pts)
+        if labels.max(initial=-1) < 0 and len(pts) >= min_samples:
+            # eom never selects the ROOT cluster: an input that is ONE
+            # cluster (a lone dynamic object in the frame) comes back
+            # all-noise. Retrying with allow_single_cluster only when the
+            # first pass found nothing cannot disturb multi-cluster frames.
+            labels = HDBSCAN(allow_single_cluster=True, **kw).fit_predict(pts)
+        return labels
+    except ImportError:
+        pass
     from sklearn.cluster import DBSCAN
 
     eps_eff = eps
@@ -123,6 +172,20 @@ def cluster_dynamic_points(
     if len(idx) < min_samples:
         return labels
     raw = _dbscan_adaptive(points[idx, :3], eps, min_samples)
+    # HDBSCAN keeps only each cluster's dense core and drops the outskirts
+    # as noise (measured 27% of a gaussian blob); an object's membership
+    # should cover its whole extent, so noise points are ABSORBED into the
+    # cluster of their nearest clustered neighbor when that neighbor is
+    # within 2x the local spacing implied by ``eps`` (stray scatter beyond
+    # it stays noise).
+    if (raw >= 0).any() and (raw < 0).any():
+        from scipy.spatial import cKDTree
+
+        cl_ix = np.flatnonzero(raw >= 0)
+        no_ix = np.flatnonzero(raw < 0)
+        dist, nn = cKDTree(points[idx[cl_ix], :3]).query(points[idx[no_ix], :3])
+        take = dist <= 2.0 * eps
+        raw[no_ix[take]] = raw[cl_ix[nn[take]]]
     # Compact to 1..max_clusters, largest clusters first.
     ids, counts = np.unique(raw[raw >= 0], return_counts=True)
     order = ids[np.argsort(-counts)][:max_clusters]

@@ -303,10 +303,26 @@ class TestDesmearMatching:
         c, s = 0.0, 1.0
         pose2 = np.array([[c, -s, 0, 1.0], [s, c, 0, 0], [0, 0, 1, 0],
                           [0, 0, 0, 1.0]])
-        (pos, delta), = tracker.predict(pose2)
+        (pos, delta, confirmed), = tracker.predict(pose2)
         # World position (7.5, 2, 1) -> ego2: R^T (p - t)
         np.testing.assert_allclose(pos, [2.0, -6.5, 1.0], atol=1e-5)
         np.testing.assert_allclose(delta, [0.0, -2.5, 0.0], atol=1e-5)
+        assert not confirmed  # one frame old: candidate only, no preference
+        # A second agreeing update confirms the track.
+        tracker2 = ClusterTracker()
+        tracker2.update([(np.array([5.0, 2.0, 1.0]), np.array([2.5, 0, 0]))],
+                        pose1)
+        tracker2.update([(np.array([7.5, 2.0, 1.0]), np.array([2.5, 0, 0]))],
+                        pose1)
+        (_, _, confirmed2), = tracker2.predict(pose1)
+        assert confirmed2
+        # A disagreeing second match does NOT confirm.
+        tracker3 = ClusterTracker()
+        tracker3.update([(np.array([5.0, 2.0, 1.0]), np.array([2.5, 0, 0]))],
+                        pose1)
+        tracker3.update([(np.array([7.5, 2.0, 1.0]), np.array([0.0, 2.5, 0]))],
+                        pose1)
+        assert not any(conf for _, _, conf in tracker3.predict(pose1))
 
         # Two identical objects in convoy: without a track the swap delta is
         # as good as the true one; the track pins the true assignment.
@@ -318,7 +334,7 @@ class TestDesmearMatching:
         pool_dt1 = np.concatenate([adt1, adt1])
         found = recover_split_translations(
             a0, pool1, match_gate=8.0, dt0=adt0, pool_dt1=pool_dt1,
-            track_deltas=[dTrue],
+            track_deltas=[(dTrue, True)],
         )
         assert found
         assert np.linalg.norm(found[0][0] - dTrue) < 0.35
