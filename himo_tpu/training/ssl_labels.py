@@ -108,6 +108,47 @@ def dynamic_mask_from_nn(
     return dyn
 
 
+def _merge_surface_fragments(
+    pts: np.ndarray, labels: np.ndarray, eps_eff: float
+) -> np.ndarray:
+    """Union HDBSCAN clusters lying in one connectivity component.
+
+    HDBSCAN splits HOLLOW surfaces at their creases — a box shell (and a
+    real vehicle's one-sided LiDAR return) comes back as 4-5 face
+    fragments (measured), and a per-face rigid ICP then slides along each
+    plane's unconstrained direction. DBSCAN's absolute-eps connectivity
+    kept such shells whole, so: compute single-linkage components over ALL
+    points (noise points bridge the creases) at the adaptive-DBSCAN
+    ``eps_eff`` and union the clusters that share a component. This can
+    only ADD unions on top of HDBSCAN's density separation — fragments it
+    keeps apart are exactly the pairs DBSCAN would have merged anyway, and
+    the split-recovery matcher handles those."""
+    ids = np.unique(labels[labels >= 0])
+    if len(ids) < 2:
+        return labels
+    from sklearn.cluster import DBSCAN
+
+    comp = DBSCAN(eps=eps_eff, min_samples=1).fit_predict(pts)
+    out = labels.copy()
+    # Map each component to the first cluster id seen in it; relabel the
+    # rest of that component's clusters to it.
+    comp_to_cid = {}
+    for c in ids:
+        comps = np.unique(comp[labels == c])
+        target = None
+        for k in comps:
+            if int(k) in comp_to_cid:
+                target = comp_to_cid[int(k)]
+                break
+        if target is None:
+            target = int(c)
+        for k in comps:
+            comp_to_cid[int(k)] = target
+        if target != int(c):
+            out[labels == c] = target
+    return out
+
+
 def _dbscan_adaptive(
     pts: np.ndarray,
     eps: float,
@@ -145,7 +186,14 @@ def _dbscan_adaptive(
             # all-noise. Retrying with allow_single_cluster only when the
             # first pass found nothing cannot disturb multi-cluster frames.
             labels = HDBSCAN(allow_single_cluster=True, **kw).fit_predict(pts)
-        return labels
+        eps_eff = eps
+        if len(pts) >= 4:
+            spacing = float(
+                np.median(nn_residual_distances(pts[0::2], pts[1::2]))
+            )
+            if np.isfinite(spacing):
+                eps_eff = float(np.clip(spacing_mult * spacing, eps, eps_cap))
+        return _merge_surface_fragments(pts, labels, eps_eff)
     except ImportError:
         pass
     from sklearn.cluster import DBSCAN
