@@ -78,6 +78,58 @@ class TestSSLLabels:
         assert clusters[500:].max() >= 1
         assert (clusters[:500] == 0).all()
 
+    def test_shell_clusters_whole_and_neighbors_separate(self, rng):
+        """A hollow box shell (a vehicle's one-sided LiDAR return) must
+        come back as ONE cluster — HDBSCAN alone splits it at the creases
+        into face fragments whose per-face rigid ICP slides — while two
+        boxes a real gap apart stay separate."""
+        from himo_tpu.data.synthetic import _sample_box_points
+        from himo_tpu.training.ssl_labels import cluster_dynamic_points
+
+        box = _sample_box_points(rng, 150, np.array([4.5, 2.0, 1.6]))
+        a = (box + [6, 3, 1]).astype(np.float32)
+        b = (box + [6, 6.3, 1]).astype(np.float32)  # 1.3 m face gap
+        pts = np.concatenate([a, b])
+        labels = cluster_dynamic_points(
+            pts, np.ones(len(pts), bool), eps=1.2, min_samples=5
+        )
+        la, ca = np.unique(labels[:150][labels[:150] > 0], return_counts=True)
+        lb, cb = np.unique(labels[150:][labels[150:] > 0], return_counts=True)
+        # Each box: one dominant cluster covering >=80% of its points.
+        assert ca.max() >= 0.8 * 150 and cb.max() >= 0.8 * 150
+        # And they are different clusters.
+        assert la[np.argmax(ca)] != lb[np.argmax(cb)]
+
+    def test_single_object_clusters(self, rng):
+        """One lone dynamic object must still cluster (HDBSCAN's eom never
+        selects the root — the allow_single_cluster retry covers it)."""
+        from himo_tpu.training.ssl_labels import cluster_dynamic_points
+
+        blob = (rng.normal(scale=0.5, size=(60, 3)) + [5, 5, 1]).astype(
+            np.float32
+        )
+        labels = cluster_dynamic_points(
+            blob, np.ones(60, bool), eps=0.8, min_samples=5
+        )
+        assert (labels > 0).mean() > 0.9
+
+    def test_coherence_prune_kills_isolated_flags(self, rng):
+        """Scattered false-dynamic flags (subsample dropouts) are pruned by
+        the 5-NN coherence vote; a coherent moving blob survives."""
+        from himo_tpu.training.ssl_labels import dynamic_mask_from_nn
+
+        static = rng.uniform(-20, 20, size=(2000, 3)).astype(np.float32)
+        blob = (rng.normal(scale=0.5, size=(80, 3)) + [25, 0, 1]).astype(
+            np.float32
+        )
+        pc0 = np.concatenate([static, blob])
+        # pc1: drop 5% of statics (isolated dropouts) and move the blob.
+        keep = rng.uniform(size=2000) > 0.05
+        pc1 = np.concatenate([static[keep], blob + 2.5])
+        dyn = dynamic_mask_from_nn(pc0, pc1, threshold=0.3)
+        assert dyn[2000:].mean() > 0.9  # blob kept
+        assert dyn[:2000].mean() < 0.01  # dropout scatter pruned
+
     def test_write_labels_roundtrip(self, tmp_path):
         import h5py
 
