@@ -48,6 +48,15 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    lib.himo_kd_query_k.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32,
+    ]
     lib.himo_chamfer.argtypes = [
         ctypes.POINTER(ctypes.c_float),
         ctypes.c_int32,
@@ -100,20 +109,41 @@ class KDTree:
         self._points = np.ascontiguousarray(points[:, :3], dtype=np.float32)
         self._handle = lib.himo_kd_build(_fptr(self._points), len(self._points))
 
-    def query(self, queries: np.ndarray, nthreads: Optional[int] = None):
-        """(distances, indices) of the nearest tree point per query row."""
+    def query(
+        self,
+        queries: np.ndarray,
+        k: int = 1,
+        nthreads: Optional[int] = None,
+    ):
+        """(distances, indices) of the ``k`` nearest tree points per query
+        row — scipy.cKDTree.query semantics: ``k=1`` returns (n,) arrays,
+        ``k>1`` returns (n, k) sorted ascending (missing slots: inf / -1)."""
         q = np.ascontiguousarray(queries[:, :3], dtype=np.float32)
         n = len(q)
-        d2 = np.empty(n, dtype=np.float32)
-        idx = np.empty(n, dtype=np.int32)
-        self._lib.himo_kd_query(
+        if k == 1:
+            d2 = np.empty(n, dtype=np.float32)
+            idx = np.empty(n, dtype=np.int32)
+            self._lib.himo_kd_query(
+                self._handle,
+                _fptr(q),
+                n,
+                _fptr(d2),
+                idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                nthreads or _default_threads(),
+            )
+            return np.sqrt(d2), idx
+        d2 = np.empty((n, k), dtype=np.float32)
+        idx = np.empty((n, k), dtype=np.int32)
+        self._lib.himo_kd_query_k(
             self._handle,
-            _fptr(q),
+            _fptr(q.reshape(-1)),
             n,
-            _fptr(d2),
+            k,
+            _fptr(d2.reshape(-1)),
             idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             nthreads or _default_threads(),
         )
+        d2[idx < 0] = np.inf  # unfilled slots (tree smaller than k)
         return np.sqrt(d2), idx
 
     def __del__(self):

@@ -93,8 +93,6 @@ def dynamic_mask_from_nn(
         threshold = adaptive_dynamic_threshold(d, base=threshold)
     dyn = d > threshold
     if coherent and dyn.any() and len(pc0_comp) > 6:
-        from scipy.spatial import cKDTree
-
         # Coherence prune over the 5-NN graph. Columns 1..5 are the 5
         # nearest OTHER points (column 0 is self): a flag with <= 1
         # dynamic neighbor is isolated scatter. (A hole-FILL pass was
@@ -102,7 +100,16 @@ def dynamic_mask_from_nn(
         # objects and measured net-negative: it bled object priors onto
         # touching structures; the lower adaptive factor recovers that
         # recall instead.)
-        _, idx = cKDTree(pc0_comp[:, :3]).query(pc0_comp[:, :3], k=6)
+        from himo_tpu import native
+
+        if native.available():
+            _, idx = native.KDTree(pc0_comp[:, :3]).query(
+                pc0_comp[:, :3], k=6
+            )
+        else:
+            from scipy.spatial import cKDTree
+
+            _, idx = cKDTree(pc0_comp[:, :3]).query(pc0_comp[:, :3], k=6)
         votes = dyn[np.asarray(idx)[:, 1:]].sum(1)
         return dyn & (votes >= 2)
     return dyn

@@ -173,6 +173,69 @@ void himo_kd_query(const void* handle, const float* queries, int32_t nq,
   });
 }
 
+// k-nearest: per-query sorted insertion into a k-slot buffer (k is small —
+// the coherence votes / smoothed-chamfer losses use k <= 8), same pruned
+// traversal as query_one with the bound = current k-th best.
+void himo_kd_query_k(const void* handle, const float* queries, int32_t nq,
+                     int32_t k, float* out_d2, int32_t* out_idx,
+                     int32_t nthreads) {
+  const auto* tree = static_cast<const KDTree*>(handle);
+  parallel_for(nq, nthreads, [&](int lo, int hi) {
+    std::vector<float> bd(k);
+    std::vector<int32_t> bi(k);
+    for (int i = lo; i < hi; ++i) {
+      const float* q = queries + 3 * i;
+      int filled = 0;
+      float bound = std::numeric_limits<float>::max();
+      struct Entry {
+        int32_t node;
+        float bound;
+      };
+      Entry stack[128];
+      int top = 0;
+      stack[top++] = {tree->root, 0.f};
+      while (top > 0) {
+        const Entry e = stack[--top];
+        if (e.bound >= bound) continue;
+        const KDTree::Node& n = tree->nodes[e.node];
+        if (n.axis < 0) {
+          for (int p = n.lo; p < n.hi; ++p) {
+            const float d2 = sq(q[0] - tree->pts[3 * p]) +
+                             sq(q[1] - tree->pts[3 * p + 1]) +
+                             sq(q[2] - tree->pts[3 * p + 2]);
+            if (d2 >= bound) continue;
+            int at = filled < k ? filled : k - 1;
+            while (at > 0 && bd[at - 1] > d2) {
+              if (at < k) {
+                bd[at] = bd[at - 1];
+                bi[at] = bi[at - 1];
+              }
+              --at;
+            }
+            bd[at] = d2;
+            bi[at] = tree->ids[p];
+            if (filled < k) ++filled;
+            if (filled == k) bound = bd[k - 1];
+          }
+          continue;
+        }
+        const float delta = q[n.axis] - n.split;
+        const int32_t near = delta <= 0 ? n.left : n.right;
+        const int32_t far = delta <= 0 ? n.right : n.left;
+        if (top < 126) {
+          stack[top++] = {far, sq(delta)};
+          stack[top++] = {near, e.bound};
+        }
+      }
+      for (int j = 0; j < k; ++j) {
+        out_d2[static_cast<int64_t>(i) * k + j] =
+            j < filled ? bd[j] : std::numeric_limits<float>::max();
+        out_idx[static_cast<int64_t>(i) * k + j] = j < filled ? bi[j] : -1;
+      }
+    }
+  });
+}
+
 // Symmetric mean-NN chamfer: out[0] = mean d(a->b), out[1] = mean d(b->a)
 // (distances, not squared — matching the eval definition).
 void himo_chamfer(const float* a, int32_t na, const float* b, int32_t nb,

@@ -21,6 +21,26 @@ def test_kdtree_matches_scipy(rng):
     np.testing.assert_array_equal(i_nat, i_scipy)
 
 
+def test_kdtree_knn_matches_scipy(rng):
+    from scipy.spatial import cKDTree
+
+    ref = rng.normal(scale=10, size=(4000, 3)).astype(np.float32)
+    q = rng.normal(scale=10, size=(1500, 3)).astype(np.float32)
+    for k in (2, 6, 8):
+        d_scipy, i_scipy = cKDTree(ref).query(q, k=k)
+        d_nat, i_nat = native.KDTree(ref).query(q, k=k)
+        np.testing.assert_allclose(d_nat, d_scipy, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(i_nat, i_scipy)
+
+
+def test_kdtree_knn_fewer_points_than_k():
+    pts = np.array([[0.0, 0, 0], [1, 0, 0], [2, 0, 0]], np.float32)
+    d, i = native.KDTree(pts).query(np.zeros((1, 3), np.float32), k=5)
+    assert d.shape == (1, 5) and i.shape == (1, 5)
+    np.testing.assert_allclose(d[0, :3], [0.0, 1.0, 2.0], atol=1e-6)
+    assert (i[0, 3:] == -1).all() and np.isinf(d[0, 3:]).all()
+
+
 def test_chamfer_matches_scipy(rng):
     from scipy.spatial import cKDTree
 
