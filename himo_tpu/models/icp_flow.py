@@ -625,9 +625,10 @@ def recover_split_translations(
             if len(out) > 1 else np.full(len(pts0), np.inf)
         )
         n_cand = claimable.sum(0)
-        # n_cand >= 2 guarantees a finite runner-up; elsewhere the margin
-        # is irrelevant (inf - inf would warn), so compute it guarded.
-        margin = np.where(n_cand >= 2, second_r - np.where(n_cand >= 2, best_r, 0.0), np.inf)
+        # n_cand >= 2 guarantees a finite runner-up; elsewhere inf - inf
+        # is irrelevant (masked out) — just silence it.
+        with np.errstate(invalid="ignore"):
+            margin = second_r - best_r
         ambiguous = claimed & (n_cand >= 2) & (margin < 0.15)
         owners = np.where(claimed & ~ambiguous & (n_cand >= 1), best, -1)
         amb_ix = np.flatnonzero(ambiguous)
