@@ -364,6 +364,31 @@ class ClusterTracker:
             )
         self.tracks = new
 
+    def backcast(self, n_frames: int) -> "ClusterTracker":
+        """Tracker for RE-LABELING a scene's first pair from later evidence.
+
+        Labels are an offline artifact, so a scene start — where no track
+        exists and convoy/blend ambiguities have nothing to overrule them
+        — can borrow velocity continuity from the FUTURE: fresh confirmed
+        tracks (age 0, hits >= 1, i.e. two consecutive later pairs agreed
+        independently of the first pair's own matches) are rolled back
+        ``n_frames`` periods under constant velocity. After pair k a fresh
+        track's ``pos_w`` is the object's time-(k+1) position, so pass
+        ``n_frames = k + 1`` to land on the frame-0 position the first
+        pair's ego-compensated pc0 clusters sit at."""
+        out = ClusterTracker(max_coast=self.max_coast)
+        out.tracks = [
+            {
+                "pos_w": tr["pos_w"] - n_frames * tr["delta_w"],
+                "delta_w": tr["delta_w"],
+                "age": 0,
+                "hits": tr["hits"],
+            }
+            for tr in self.tracks
+            if tr["age"] == 0 and tr["hits"] >= 1
+        ]
+        return out
+
 
 def _cluster_spacing(pts: np.ndarray) -> float:
     """Median NN spacing within a cluster via an odd/even split (scan order

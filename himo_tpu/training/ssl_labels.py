@@ -367,6 +367,42 @@ def label_frame(
     return dynamic, clusters.astype(np.uint16), prior, prior_valid
 
 
+def label_scene(frames, threshold: float = 0.18, label_fn=None):
+    """Label one scene's frame pairs IN ORDER, with a scene-start repair.
+
+    Forward pass: one :func:`label_frame` per pair, sharing a
+    models/icp_flow.ClusterTracker (velocity continuity). The first pair
+    has no track yet — the one place a merged-cluster BLEND or convoy swap
+    has nothing to overrule it (measured: the only failures left on the
+    bucket-complete diagnostic were at frame 0). Labels are an OFFLINE
+    artifact, so after three pairs the first is re-labeled with the
+    tracker's confirmed tracks rolled back under constant velocity
+    (ClusterTracker.backcast); the repair replaces the stored labels only
+    for pair 0.
+
+    ``label_fn(data, tracker)`` overrides the per-pair labeler (the DUFO
+    writer fuses occupancy evidence); it must return the 4-tuple of
+    :func:`label_frame`. Returns a list of 4-tuples, one per input frame.
+    """
+    from himo_tpu.models.icp_flow import ClusterTracker
+
+    if label_fn is None:
+        def label_fn(data, tracker):
+            return label_frame(
+                data, threshold=threshold, with_prior=True, tracker=tracker
+            )
+
+    tracker = ClusterTracker()
+    out = []
+    for k, data in enumerate(frames):
+        out.append(label_fn(data, tracker))
+        if k == 2:
+            back = tracker.backcast(n_frames=3)
+            if back.tracks:
+                out[0] = label_fn(frames[0], back)
+    return out
+
+
 def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) -> int:
     """Label every frame pair in a dataset; returns frames labeled."""
     import h5py
@@ -375,31 +411,31 @@ def write_ssl_labels(data_dir, threshold: float = 0.18, verbose: bool = True) ->
     from himo_tpu.data.dataset import SceneFlowDataset
 
     dataset = SceneFlowDataset(data_dir, with_pc1=True, next_keys=("lidar_dt",))
-    it = range(len(dataset))
-    if verbose:
-        it = tqdm(it, ncols=100, desc=f"SSL labels for {data_dir}")
-    from himo_tpu.models.icp_flow import ClusterTracker
-
-    trackers: Dict[str, ClusterTracker] = {}
-    n = 0
-    for i in it:
+    by_scene: Dict[str, list] = {}
+    for i in range(len(dataset)):
         data = dataset[i]
-        tracker = trackers.setdefault(data["scene_id"], ClusterTracker())
-        dynamic, clusters, prior, prior_valid = label_frame(
-            data, threshold=threshold, with_prior=True, tracker=tracker
-        )
-        with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
-            g = f[str(data["timestamp"])]
-            for key, arr in (
-                ("ssl_dynamic", dynamic),
-                ("ssl_cluster", clusters),
-                ("ssl_prior", prior),
-                ("ssl_prior_valid", prior_valid),
+        by_scene.setdefault(data["scene_id"], []).append(data)
+    scenes = by_scene.items()
+    if verbose:
+        scenes = tqdm(scenes, ncols=100, desc=f"SSL labels for {data_dir}")
+    n = 0
+    for scene_id, frames in scenes:
+        results = label_scene(frames, threshold=threshold)
+        with h5py.File(dataset.directory / f"{scene_id}.h5", "a") as f:
+            for data, (dynamic, clusters, prior, prior_valid) in zip(
+                frames, results
             ):
-                if key in g:
-                    del g[key]
-                g.create_dataset(key, data=arr)
-        n += 1
+                g = f[str(data["timestamp"])]
+                for key, arr in (
+                    ("ssl_dynamic", dynamic),
+                    ("ssl_cluster", clusters),
+                    ("ssl_prior", prior),
+                    ("ssl_prior_valid", prior_valid),
+                ):
+                    if key in g:
+                        del g[key]
+                    g.create_dataset(key, data=arr)
+                n += 1
     return n
 
 
@@ -572,16 +608,19 @@ def write_ssl_labels_dufo(
             scene, voxel=voxel, samples=samples, endpoint_margin=endpoint_margin
         )
 
-    from himo_tpu.models.icp_flow import ClusterTracker
-
     dataset = SceneFlowDataset(data_dir, with_pc1=True, next_keys=("lidar_dt",))
-    it = range(len(dataset))
-    if verbose:
-        it = tqdm(it, ncols=100, desc=f"DUFO labels {data_dir}")
-    trackers: Dict[str, ClusterTracker] = {}
-    n = 0
-    for i in it:
+    by_scene: Dict[str, list] = {}
+    for i in range(len(dataset)):
         data = dataset[i]
+        by_scene.setdefault(data["scene_id"], []).append(data)
+    scenes = by_scene.items()
+    if verbose:
+        scenes = tqdm(scenes, ncols=100, desc=f"DUFO labels {data_dir}")
+
+    def dufo_label_fn(data, tracker):
+        """Fused-evidence labeler (label_scene contract): clusters from the
+        NN+DUFO cluster vote; priors ride the fused clusters (cluster
+        geometry is in the ego-compensated frame, like label_frame's)."""
         nn_dyn, _ = label_frame(data, threshold=threshold)
         du_dyn = dufo_masks[data["scene_id"]][str(data["timestamp"])]
         dynamic, clusters = fuse_dynamic_evidence(
@@ -590,8 +629,6 @@ def write_ssl_labels_dufo(
             du_dyn,
             ~np.asarray(data["gm0"], bool),
         )
-        # Translation priors ride the fused clusters (cluster geometry is in
-        # the ego-compensated frame, like label_frame's).
         xyz0 = data["pc0"][:, :3]
         xyz1 = data["pc1"][:, :3]
         pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
@@ -603,19 +640,26 @@ def write_ssl_labels_dufo(
         prior, prior_valid = translation_priors(
             pc0_comp, clusters.astype(np.int64), xyz1, dynamic1,
             dt0=data.get("lidar_dt"), dt1=data.get("lidar_dt1"),
-            tracker=trackers.setdefault(data["scene_id"], ClusterTracker()),
-            pose1=data.get("pose1"),
+            tracker=tracker, pose1=data.get("pose1"),
         )
-        with h5py.File(dataset.directory / f"{data['scene_id']}.h5", "a") as f:
-            g = f[str(data["timestamp"])]
-            for key, arr in (
-                ("ssl_dynamic", dynamic),
-                ("ssl_cluster", clusters),
-                ("ssl_prior", prior),
-                ("ssl_prior_valid", prior_valid),
+        return dynamic, clusters, prior, prior_valid
+
+    n = 0
+    for scene_id, frames in scenes:
+        results = label_scene(frames, threshold=threshold, label_fn=dufo_label_fn)
+        with h5py.File(dataset.directory / f"{scene_id}.h5", "a") as f:
+            for data, (dynamic, clusters, prior, prior_valid) in zip(
+                frames, results
             ):
-                if key in g:
-                    del g[key]
-                g.create_dataset(key, data=arr)
-        n += 1
+                g = f[str(data["timestamp"])]
+                for key, arr in (
+                    ("ssl_dynamic", dynamic),
+                    ("ssl_cluster", clusters),
+                    ("ssl_prior", prior),
+                    ("ssl_prior_valid", prior_valid),
+                ):
+                    if key in g:
+                        del g[key]
+                    g.create_dataset(key, data=arr)
+                n += 1
     return n

@@ -31,26 +31,28 @@ def main():
     args = ap.parse_args()
 
     from himo_tpu.data.dataset import SceneFlowDataset
-    from himo_tpu.models.icp_flow import ClusterTracker
-    from himo_tpu.training.ssl_labels import label_frame
+    from himo_tpu.training.ssl_labels import label_scene
 
     dataset = SceneFlowDataset(
         args.root, with_pc1=True, next_keys=("lidar_dt",)
     )
-    trackers = {}
-    frame_idx = defaultdict(int)
-    stats = []  # per (scene, frame, instance)
+    by_scene = defaultdict(list)
     for i in range(len(dataset)):
         data = dataset[i]
         if not data.get("has_next", True):
             continue  # no successor sweep: nothing to match against
-        sid = data["scene_id"]
-        tracker = trackers.setdefault(sid, ClusterTracker())
-        fidx = frame_idx[sid]
-        frame_idx[sid] += 1
-        _, _, prior, prior_valid = label_frame(
-            data, with_prior=True, tracker=tracker
+        by_scene[data["scene_id"]].append(data)
+    stats = []  # per (scene, frame, instance)
+    labeled = (
+        (data, fidx, result)
+        for sid, frames in by_scene.items()
+        for fidx, (data, result) in enumerate(
+            zip(frames, label_scene(frames))
         )
+    )
+    for data, fidx, result in labeled:
+        sid = data["scene_id"]
+        _, _, prior, prior_valid = result
         gt = np.asarray(data["flow"])  # total flow incl. ego
         # Instance (object) flow = GT minus rigid ego flow.
         from himo_tpu.core.transforms import rigid_flow

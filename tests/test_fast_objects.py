@@ -324,6 +324,19 @@ class TestDesmearMatching:
                         pose1)
         assert not any(conf for _, _, conf in tracker3.predict(pose1))
 
+        # Backcast: confirmed fresh tracks roll back under constant
+        # velocity for scene-start re-labeling; coasted/unconfirmed drop.
+        back = tracker2.backcast(n_frames=3)
+        assert len(back.tracks) == 1
+        # tracker2's fresh track: pos_w = (7.5,2,1)+(2.5,0,0) = (10,2,1);
+        # minus 3 deltas -> (2.5, 2, 1).
+        np.testing.assert_allclose(
+            back.tracks[0]["pos_w"], [2.5, 2.0, 1.0], atol=1e-5
+        )
+        (_, _, conf_b), = back.predict(pose1)
+        assert conf_b  # confirmation carries over
+        assert not tracker.backcast(n_frames=3).tracks  # hits=0: excluded
+
         # Two identical objects in convoy: without a track the swap delta is
         # as good as the true one; the track pins the true assignment.
         dTrue = np.array([2.5, 0.0, 0.0], np.float32)
