@@ -372,6 +372,7 @@ def _feedforward_estimator(name: str):
 
         # Let callers (models/runner.py) know how many sweeps to feed.
         estimate.num_frames = config.num_frames
+        estimate.trackers = trackers  # runner's scene-start repair
         return estimate
 
     return factory

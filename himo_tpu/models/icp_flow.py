@@ -1027,4 +1027,5 @@ def make_icpflow(**overrides):
             dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
         )
 
+    estimate.trackers = trackers  # models/runner.py's scene-start repair
     return estimate

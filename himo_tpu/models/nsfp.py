@@ -206,4 +206,5 @@ def make_nsfp(**overrides):
             pc0, pc1, valid0, valid1, key, config=config, prior_flow=prior
         )
 
+    estimate.trackers = trackers  # models/runner.py's scene-start repair
     return estimate

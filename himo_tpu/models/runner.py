@@ -97,17 +97,22 @@ def estimate_scene_flow(
     frames = 0
     start = time.perf_counter()
 
-    iterator = range(len(dataset))
-    if verbose:
-        iterator = tqdm(iterator, ncols=100, desc=f"Estimating {model} on {data_dir}")
-    for i in iterator:
+    first_pair: Dict[str, int] = {}  # scene -> dataset index of pair 0
+    pairs_in_scene: Dict[str, int] = {}
+
+    def process(i: int, key) -> int:
+        """Estimate + write one frame pair; returns points written (0 if
+        the frame has no successor)."""
         with timer("load"):
             data = dataset[i]
         # Scene-final frames have no successor to estimate against — skip
         # every one of them (matching the eval-index exclusion), not just the
         # dataset-final frame.
         if not data.get("has_next", True):
-            continue
+            return 0
+        sid = data["scene_id"]
+        first_pair.setdefault(sid, i)
+        pairs_in_scene[sid] = pairs_in_scene.get(sid, 0) + 1
         xyz0 = data["pc0"][:, :3]
         xyz1 = data["pc1"][:, :3]
         rng_np = np.random.default_rng(seed + i)
@@ -148,7 +153,6 @@ def estimate_scene_flow(
                     keep = rng_np.choice(len(hist), target, replace=False)
                     hist, gmh = hist[keep], gmh[keep]
                 history = _pad_cloud(hist, ~gmh, target)
-        key, sub = jax.random.split(key)
         with timer("estimate"):
             aux = {}
             if aux_keys:
@@ -165,10 +169,10 @@ def estimate_scene_flow(
                 aux = {k: full_aux[k] for k in aux_keys}
             if with_history:
                 residual, loss = estimator(
-                    p0, p1, v0, v1, sub, history=history, **aux
+                    p0, p1, v0, v1, key, history=history, **aux
                 )
             else:
-                residual, loss = estimator(p0, p1, v0, v1, sub, **aux)
+                residual, loss = estimator(p0, p1, v0, v1, key, **aux)
             residual = np.asarray(residual)[: len(est0)]
         if sub_idx is not None:
             with timer("upsample"):
@@ -178,8 +182,38 @@ def estimate_scene_flow(
             write_method_flow(
                 data_dir, data["scene_id"], data["timestamp"], output_key, total
             )
-        total_points += len(xyz0)
-        frames += 1
+        return len(xyz0)
+
+    iterator = range(len(dataset))
+    if verbose:
+        iterator = tqdm(iterator, ncols=100, desc=f"Estimating {model} on {data_dir}")
+    for i in iterator:
+        key, sub = jax.random.split(key)
+        pts = process(i, sub)
+        if pts:
+            total_points += pts
+            frames += 1
+
+    # Scene-start repair (offline, like the label writers): each scene's
+    # FIRST pair was estimated with no velocity-continuity track — the one
+    # place a merged-cluster blend or convoy swap has nothing to overrule
+    # it. Re-estimate it with the scene's confirmed tracks rolled back
+    # under constant velocity (models/icp_flow.ClusterTracker.backcast)
+    # when the estimator exposes its per-scene trackers and the scene ran
+    # long enough to confirm them.
+    trackers = getattr(estimator, "trackers", None)
+    if trackers:
+        for sid, idx in first_pair.items():
+            n_pairs = pairs_in_scene.get(sid, 0)
+            tr = trackers.get(sid)
+            if tr is None or n_pairs < 3:
+                continue
+            back = tr.backcast(n_frames=n_pairs)
+            if not back.tracks:
+                continue
+            trackers[sid] = back
+            key, sub = jax.random.split(key)
+            process(idx, sub)
 
     elapsed = time.perf_counter() - start
     if verbose:

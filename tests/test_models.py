@@ -306,3 +306,54 @@ def test_mean_sorted_pooling_parity(rng):
         os.environ.pop("HIMO_PALLAS_INTERPRET", None)
     np.testing.assert_allclose(f_pl, f_xla, atol=1e-4)
     assert g_xla > 0 and abs(g_pl - g_xla) / g_xla < 1e-4
+
+
+def test_runner_scene_start_repair(tmp_path):
+    """After a scene completes, the runner re-estimates its FIRST pair with
+    the estimator's confirmed tracks rolled back (ClusterTracker.backcast)
+    — offline flow writing can borrow velocity continuity from the future
+    exactly like the label writers do."""
+    import numpy as np
+
+    from himo_tpu.data.dataset import SceneFlowDataset
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.models.icp_flow import ClusterTracker
+    from himo_tpu.models.registry import register_estimator
+    from himo_tpu.models.runner import estimate_scene_flow
+
+    root = tmp_path / "av2_repair"
+    make_dataset(root, num_scenes=1, num_frames=5, seed=3, num_background=200)
+
+    calls = []  # (scene_id, had_confirmed_track)
+
+    @register_estimator("_test_repair")
+    def _factory(**overrides):
+        trackers = {}
+
+        def estimate(pc0, pc1, valid0, valid1, key, dt0=None, dt1=None,
+                     scene_id=None, pose1=None):
+            tracker = trackers.setdefault(scene_id, ClusterTracker())
+            confirmed = any(
+                conf for _, _, conf in tracker.predict(np.asarray(pose1))
+            )
+            calls.append((scene_id, confirmed))
+            # Feed the tracker one consistent moving object per pair so
+            # confirmation builds up across the scene.
+            tracker.update(
+                [(np.array([5.0, 0, 1.0]), np.array([2.0, 0, 0]))],
+                np.asarray(pose1),
+            )
+            import jax.numpy as jnp
+
+            return jnp.zeros((len(pc0), 3)), 0.0
+
+        estimate.trackers = trackers
+        return estimate
+
+    stats = estimate_scene_flow(str(root), model="_test_repair", verbose=False)
+    assert stats["frames"] == 4  # 5 frames -> 4 pairs; repair not counted
+    assert len(calls) == 5  # 4 forward + 1 repair of pair 0
+    # The repair call sees a CONFIRMED track (backcast), where the original
+    # pair-0 call saw none.
+    assert calls[0][1] is False
+    assert calls[-1][1] is True
