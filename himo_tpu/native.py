@@ -72,6 +72,12 @@ def _try_load() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p,
         ctypes.c_int64,
     ]
+    lib.himo_preload_files.restype = ctypes.c_int64
+    lib.himo_preload_files.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
     lib.himo_pack_frames.argtypes = [
         ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
         ctypes.POINTER(ctypes.c_int32),
@@ -186,6 +192,20 @@ def read_attr(path, dtype: str) -> np.ndarray:
     if got < 0:
         raise IOError(f"failed to read {path}")
     return out[:got]
+
+
+def preload_files(paths, queue_depth: int = 32) -> int:
+    """Warm the page cache for upcoming scene files (io_uring reads, or a
+    posix_fadvise(WILLNEED) pass where io_uring is unavailable). Returns
+    bytes requested. Fire-and-forget from a prefetch thread: the fleet /
+    trainer host loops call it for the NEXT scene while the device crunches
+    the current batch."""
+    lib = _try_load()
+    if lib is None:
+        raise RuntimeError("himo_native library unavailable")
+    encoded = [str(p).encode() for p in paths]
+    arr = (ctypes.c_char_p * len(encoded))(*encoded)
+    return int(lib.himo_preload_files(arr, len(encoded), queue_depth))
 
 
 def pack_frames(

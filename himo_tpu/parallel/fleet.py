@@ -204,8 +204,32 @@ def run_fleet(
     with_prior = bool(getattr(model.config, "prior_feat", False))
 
     def producer():
+        # Warm the page cache for upcoming scene files through the native
+        # io_uring reader while the device crunches: reading a cold .h5 is
+        # the producer's only blocking I/O, and the scene AFTER the one
+        # being decoded is exactly what will block next.
+        preloaded: set = set()
+
+        def preload_ahead(i: int) -> None:
+            j = min(i + per_step, len(dataset) - 1)
+            ix = (
+                dataset.eval_index
+                if getattr(dataset, "eval_index", None) is not None
+                else dataset.data_index
+            )
+            sid = ix[j][0]
+            if sid in preloaded:
+                return
+            preloaded.add(sid)
+            try:
+                native.preload_files([dataset.directory / f"{sid}.h5"])
+            except Exception:
+                pass  # cache warming is best-effort
+
         buf: List[Tuple[int, Dict]] = []
         for i in range(len(dataset)):
+            if defer_pack:
+                preload_ahead(i)
             buf.append(
                 (
                     i,

@@ -314,3 +314,162 @@ void himo_pack_frames(const float** frames, const int32_t* ns, int32_t nframes,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------- preload
+// Warm the page cache for upcoming scene files (the fleet / trainer host
+// loops read whole .h5 scenes; overlapping the NEXT scene's disk I/O with
+// the current batch's compute hides cold-cache latency). Reads are issued
+// through io_uring (raw syscalls — the image ships no liburing) into one
+// discarded scratch buffer: the useful side effect is the kernel filling
+// the page cache. Falls back to posix_fadvise(WILLNEED) when io_uring is
+// unavailable (seccomp'd containers).
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <sys/syscall.h>
+#include <unistd.h>
+#include <linux/io_uring.h>
+
+namespace {
+
+constexpr uint32_t kChunk = 1 << 20;  // 1 MiB read units
+
+int sys_io_uring_setup(unsigned entries, struct io_uring_params* p) {
+  return static_cast<int>(syscall(__NR_io_uring_setup, entries, p));
+}
+
+int sys_io_uring_enter(int fd, unsigned to_submit, unsigned min_complete,
+                       unsigned flags) {
+  return static_cast<int>(syscall(__NR_io_uring_enter, fd, to_submit,
+                                  min_complete, flags, nullptr, 0));
+}
+
+struct Ring {
+  int fd = -1;
+  uint8_t* sq = nullptr;
+  size_t sq_len = 0;
+  uint8_t* cq = nullptr;
+  size_t cq_len = 0;
+  io_uring_sqe* sqes = nullptr;
+  size_t sqes_len = 0;
+  unsigned* sq_head = nullptr;
+  unsigned* sq_tail = nullptr;
+  unsigned sq_mask = 0;
+  unsigned* sq_array = nullptr;
+  unsigned* cq_head = nullptr;
+  unsigned* cq_tail = nullptr;
+  unsigned cq_mask = 0;
+  io_uring_cqe* cqes = nullptr;
+
+  bool open(unsigned entries) {
+    io_uring_params p{};
+    fd = sys_io_uring_setup(entries, &p);
+    if (fd < 0) return false;
+    sq_len = p.sq_off.array + p.sq_entries * sizeof(unsigned);
+    cq_len = p.cq_off.cqes + p.cq_entries * sizeof(io_uring_cqe);
+    sq = static_cast<uint8_t*>(mmap(nullptr, sq_len, PROT_READ | PROT_WRITE,
+                                    MAP_SHARED | MAP_POPULATE, fd,
+                                    IORING_OFF_SQ_RING));
+    cq = static_cast<uint8_t*>(mmap(nullptr, cq_len, PROT_READ | PROT_WRITE,
+                                    MAP_SHARED | MAP_POPULATE, fd,
+                                    IORING_OFF_CQ_RING));
+    sqes_len = p.sq_entries * sizeof(io_uring_sqe);
+    sqes = static_cast<io_uring_sqe*>(
+        mmap(nullptr, sqes_len, PROT_READ | PROT_WRITE,
+             MAP_SHARED | MAP_POPULATE, fd, IORING_OFF_SQES));
+    if (sq == MAP_FAILED || cq == MAP_FAILED || sqes == MAP_FAILED) {
+      close_all();
+      return false;
+    }
+    sq_head = reinterpret_cast<unsigned*>(sq + p.sq_off.head);
+    sq_tail = reinterpret_cast<unsigned*>(sq + p.sq_off.tail);
+    sq_mask = *reinterpret_cast<unsigned*>(sq + p.sq_off.ring_mask);
+    sq_array = reinterpret_cast<unsigned*>(sq + p.sq_off.array);
+    cq_head = reinterpret_cast<unsigned*>(cq + p.cq_off.head);
+    cq_tail = reinterpret_cast<unsigned*>(cq + p.cq_off.tail);
+    cq_mask = *reinterpret_cast<unsigned*>(cq + p.cq_off.ring_mask);
+    cqes = reinterpret_cast<io_uring_cqe*>(cq + p.cq_off.cqes);
+    return true;
+  }
+
+  void close_all() {
+    if (sq && sq != MAP_FAILED) munmap(sq, sq_len);
+    if (cq && cq != MAP_FAILED) munmap(cq, cq_len);
+    if (sqes && sqes != reinterpret_cast<io_uring_sqe*>(MAP_FAILED))
+      munmap(sqes, sqes_len);
+    if (fd >= 0) close(fd);
+    fd = -1;
+  }
+};
+
+}  // namespace
+
+extern "C" int64_t himo_preload_files(const char** paths, int32_t n_paths,
+                                      int32_t queue_depth) {
+  if (queue_depth < 1) queue_depth = 32;
+  if (queue_depth > 256) queue_depth = 256;
+  Ring ring;
+  const bool have_uring = ring.open(static_cast<unsigned>(queue_depth));
+  int64_t total = 0;
+  std::vector<uint8_t> scratch(kChunk);
+  for (int32_t i = 0; i < n_paths; ++i) {
+    const int fd = ::open(paths[i], O_RDONLY);
+    if (fd < 0) continue;
+    struct stat st{};
+    if (fstat(fd, &st) != 0 || st.st_size <= 0) {
+      close(fd);
+      continue;
+    }
+    if (!have_uring) {
+      posix_fadvise(fd, 0, 0, POSIX_FADV_WILLNEED);
+      total += st.st_size;
+      close(fd);
+      continue;
+    }
+    int64_t off = 0;
+    unsigned inflight = 0;
+    while (off < st.st_size || inflight > 0) {
+      // Fill the submission queue.
+      unsigned submitted = 0;
+      while (off < st.st_size &&
+             inflight < static_cast<unsigned>(queue_depth)) {
+        const unsigned tail = __atomic_load_n(ring.sq_tail, __ATOMIC_ACQUIRE);
+        const unsigned ix = tail & ring.sq_mask;
+        io_uring_sqe& s = ring.sqes[ix];
+        std::memset(&s, 0, sizeof(s));
+        s.opcode = IORING_OP_READ;
+        s.fd = fd;
+        s.addr = reinterpret_cast<uint64_t>(scratch.data());
+        s.len = static_cast<uint32_t>(
+            std::min<int64_t>(kChunk, st.st_size - off));
+        s.off = static_cast<uint64_t>(off);
+        ring.sq_array[ix] = ix;
+        __atomic_store_n(ring.sq_tail, tail + 1, __ATOMIC_RELEASE);
+        off += s.len;
+        ++inflight;
+        ++submitted;
+      }
+      const int got = sys_io_uring_enter(ring.fd, submitted, 1,
+                                         IORING_ENTER_GETEVENTS);
+      if (got < 0) {  // unexpected mid-stream failure: fall back
+        posix_fadvise(fd, 0, 0, POSIX_FADV_WILLNEED);
+        break;
+      }
+      // Drain completions.
+      unsigned head = __atomic_load_n(ring.cq_head, __ATOMIC_ACQUIRE);
+      const unsigned tail = __atomic_load_n(ring.cq_tail, __ATOMIC_ACQUIRE);
+      while (head != tail) {
+        const io_uring_cqe& c = ring.cqes[head & ring.cq_mask];
+        if (c.res > 0) total += c.res;
+        ++head;
+        --inflight;
+      }
+      __atomic_store_n(ring.cq_head, head, __ATOMIC_RELEASE);
+    }
+    close(fd);
+  }
+  ring.close_all();
+  return total;
+}
+

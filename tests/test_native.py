@@ -70,6 +70,20 @@ def test_read_attr_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(got8, i8.astype(np.int32))
 
 
+def test_preload_files(tmp_path, rng):
+    """io_uring (or fadvise-fallback) cache warming reads every byte."""
+    sizes = [1 << 12, (1 << 20) + 137, 3 << 20]
+    paths = []
+    for i, sz in enumerate(sizes):
+        p = tmp_path / f"scene_{i}.h5"
+        p.write_bytes(bytes(rng.integers(0, 256, sz, dtype=np.uint8)))
+        paths.append(p)
+    got = native.preload_files(paths)
+    assert got == sum(sizes)
+    # Missing files are skipped, not fatal.
+    assert native.preload_files([tmp_path / "nope.h5"]) == 0
+
+
 def test_pack_frames(rng):
     frames = [
         rng.normal(size=(n, 4)).astype(np.float32) for n in (100, 250, 64)
