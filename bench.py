@@ -114,7 +114,32 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     return BATCH * n_valid / elapsed
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail fast when the device is unreachable. A hung axon tunnel blocks
+    the first device touch inside a C call FOREVER — neither SIGALRM nor
+    KeyboardInterrupt gets through (observed live) — so probe from a
+    subprocess the OS can kill, and only then initialize jax in-process."""
+    import subprocess
+    import sys
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired as e:
+        raise TimeoutError("device unreachable (tunnel hang)") from e
+    except subprocess.CalledProcessError as e:
+        raise TimeoutError(
+            f"device init failed: {e.stderr.decode()[-300:]}"
+        ) from e
+
+
 def main() -> dict:
+    _probe_device()
+
     import jax
     import jax.numpy as jnp
 
@@ -145,4 +170,17 @@ def main() -> dict:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except TimeoutError as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "seflowpp_inference_deskew_points_per_sec_per_chip_512grid",
+                    "value": 0.0,
+                    "unit": "Mpts/s",
+                    "vs_baseline": 0.0,
+                    "error": str(e),
+                }
+            )
+        )
