@@ -430,16 +430,13 @@ def recover_split_translations(
     box (+0.8 m margin). A merged two-object cluster thus yields two deltas
     over disjoint point subsets instead of one wrong average.
 
-    Every candidate is refined and scored on the FULL cluster first; claims
-    are then made disjointly by GREEDY TOTAL-RESIDUAL GAIN: each round the
-    candidate whose claim would reduce the unassigned points' residuals
-    the most (sum of ``r_in - residual`` over its inliers) claims them.
-    Inlier COUNT is the wrong order — a blend delta between two merged
-    objects' motions aligns nearly ALL points at mediocre residual (the
-    smear admits partial matches from both members), so it out-counts
-    either true delta; but a true delta takes its own object's residuals
-    to ~0, so per-point GAIN favors the true deltas and the blend's
-    leftover claim falls below ``min_points`` and dies.
+    Each candidate is refined on its OWN raw inlier subset (full-cluster
+    refinement drifts every candidate toward a blend of a merged cluster's
+    motions), verified, then deltas are ACCEPTED by greedy total-residual
+    gain with a unique-support test, and points are ASSIGNED by raw
+    residual with confirmed-tier precedence and body-proximity tie-breaks
+    — the inline comments below document each mechanism with the measured
+    failure mode that forced it.
 
     Returns a list of ``(delta (3,) float32, local_mask (len(pts0),) bool)``
     in claim order; masks are disjoint."""
@@ -497,7 +494,7 @@ def recover_split_translations(
         gated = np.where(sens >= 0.35, dist, np.inf).astype(np.float32)
         return gated, np.asarray(dist, np.float32)
 
-    evaluated = []  # (delta, per-point residuals)
+    evaluated = []  # (delta, gated residuals, raw residuals)
     for cand in cands:
         # Claim the RAW candidate's inlier subset before ANY refinement:
         # refining on the full (possibly merged multi-object) cluster first
