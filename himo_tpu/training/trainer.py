@@ -198,7 +198,37 @@ def batch_iterator(
     stop = object()
 
     def worker():
+        from himo_tpu import native
+
+        preloaded: set = set()
+
+        def preload_batch(b: int) -> None:
+            """Warm the page cache for the NEXT batch's scene files (native
+            io_uring reader) while this batch's frames decode — shuffled
+            epochs touch scenes in random order, so cold reads otherwise
+            land mid-epoch."""
+            if not native.available():
+                return
+            idxs = order[b * config.batch_size : (b + 1) * config.batch_size]
+            ix = (
+                dataset.eval_index
+                if getattr(dataset, "eval_index", None) is not None
+                else dataset.data_index
+            )
+            sids = {ix[int(i)][0] for i in idxs} - preloaded
+            if not sids:
+                return
+            preloaded.update(sids)
+            try:
+                native.preload_files(
+                    [dataset.directory / f"{s}.h5" for s in sids]
+                )
+            except Exception:
+                pass  # cache warming is best-effort
+
         for b in range(n_batches):
+            if b + 1 < n_batches:
+                preload_batch(b + 1)
             idxs = order[b * config.batch_size : (b + 1) * config.batch_size]
             frames = [
                 build_frame_arrays(
