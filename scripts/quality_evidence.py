@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--root", default="/tmp/av2_quality")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-opt", action="store_true")
+    ap.add_argument(
+        "--skip-labels", action="store_true",
+        help="reuse existing ssl_* keys (labels are host-side and can be "
+        "pre-generated on CPU while the chip is busy/unreachable)",
+    )
     ap.add_argument("--epochs", type=int, default=12)
     # Reference recipe (lr 6e-5, StepLR(3, 0.5)) freezes lr to ~1e-9 by
     # epoch 45 — fine for the 12-epoch parity run, wasteful for long
@@ -56,7 +61,8 @@ def main():
     methods = []
     if not args.skip_train:
         print("[2/5] DUFO SSL labels + SeFlow++ SSL training")
-        write_ssl_labels_dufo(root, verbose=True)
+        if not args.skip_labels:
+            write_ssl_labels_dufo(root, verbose=True)
         from himo_tpu.training.trainer import TrainConfig, train
 
         config = TrainConfig(
