@@ -394,12 +394,23 @@ def label_scene(frames, threshold: float = 0.18, label_fn=None):
 
     tracker = ClusterTracker()
     out = []
+    first_pair = None
+    pairs = 0
     for k, data in enumerate(frames):
-        out.append(label_fn(data, tracker))
-        if k == 2:
-            back = tracker.backcast(n_frames=3)
+        is_pair = bool(data.get("has_next", True))
+        # A trailing frame has no successor: its labels are all-zero by
+        # construction, and feeding its empty match set to the tracker
+        # would needlessly coast every track — label it tracker-less.
+        out.append(label_fn(data, tracker if is_pair else None))
+        if not is_pair:
+            continue
+        if first_pair is None:
+            first_pair = k
+        pairs += 1
+        if pairs == 3:
+            back = tracker.backcast(n_frames=pairs)
             if back.tracks:
-                out[0] = label_fn(frames[0], back)
+                out[first_pair] = label_fn(frames[first_pair], back)
     return out
 
 
