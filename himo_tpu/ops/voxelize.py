@@ -897,14 +897,33 @@ def scatter_max_multi(
     (sweep k's trash remapped past every real row) so the sort/band prep
     and the per-call launch overhead are paid once instead of K times.
     The scalar-store count is unchanged — this trims the fixed costs
-    around the ~21 ns/point kernel floor (see TODO.md "scatter floor")."""
+    around the ~21 ns/point kernel floor (see TODO.md "scatter floor").
+
+    Fusion is gated so it never demotes the scatter off a faster path
+    (measured regression when it did: 512² bench 5.53 -> 2.83 Mpts/s):
+
+    - if one sweep's image already rides the RESIDENT kernel (no sorting at
+      all), concatenating k*hw rows would push it to the sorted variant;
+    - if the concatenated point stream overflows ``_TABLE_BUDGET_BYTES``,
+      the sorted scatter falls from the table-resident kernel (zero row
+      takes) into the argsort + row-take stream — each take is ~20 ns/row,
+      far more than the per-call overhead the fusion saves.
+
+    Either way the per-sweep calls win; fuse only when every sweep would
+    take the sorted-table path anyway AND the fused table still fits."""
     assert len(features) == len(grids) and features
     h, w = grids[0].grid_shape
     hw = h * w
     k = len(features)
-    if k == 1 or not _use_pallas():
+    channels = features[0].shape[1]
+    n_total = sum(f.shape[0] for f in features)
+    n_total_pad = n_total + (-n_total % _SCATTER_CHUNK)
+    fused_ok = (
+        not _pallas_fits(hw, channels)
+        and _window_bytes(n_total_pad, channels) <= _TABLE_BUDGET_BYTES
+    )
+    if k == 1 or not _use_pallas() or not fused_ok:
         return [scatter_max(f, g) for f, g in zip(features, grids)]
-    neg = jnp.finfo(features[0].dtype).min
     pids = []
     feats = []
     for i, (f, g) in enumerate(zip(features, grids)):
