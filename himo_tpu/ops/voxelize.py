@@ -867,12 +867,101 @@ def scatter_mean(
     return mean.reshape(h, w, -1)
 
 
+# ------------------------------------------- gather-composed scatter (max)
+# The Pallas scatter kernels above bottom out at the scalar unit's ~20-cycle
+# random-row VMEM store (~21 ns/point — TODO.md "scatter floor"). This
+# variant escapes the scalar unit by transposing the problem into forms the
+# VPU can vectorize:
+#   1. sort points by pillar id (argsort, already the sorted-prep cost);
+#   2. segmented running max over the SORTED stream via associative_scan
+#      (log2 N elementwise passes, no data-dependent addressing) — each
+#      segment's END row then holds its pillar's max;
+#   3. per-pillar end index via ONE 1-D int scatter-max;
+#   4. dense image columns via per-column 1-D takes at those indices.
+# Everything is plain XLA, so vmap needs no custom rules. Whether 1-D
+# takes/scatters actually vectorize on this chip is an empirical question —
+# selected by HIMO_SCATTER=gather after a chip A/B (scripts/kernel_bench.py).
+
+
+def _scatter_engine() -> str:
+    import os
+
+    return os.environ.get("HIMO_SCATTER", "pallas")
+
+
+def _column_takes(src: jax.Array, idx: jax.Array) -> jax.Array:
+    """(N, C) rows reordered/gathered by (M,) idx via C separate 1-D takes
+    (candidate vector-unit lowering; row takes are per-row latency-bound)."""
+    return jnp.stack(
+        [jnp.take(src[:, c], idx) for c in range(src.shape[1])], axis=1
+    )
+
+
+def _seg_cummax(vals: jax.Array, reset: jax.Array) -> jax.Array:
+    """Inclusive running max over (N, C) with segment restarts where
+    ``reset`` is True (segmented-scan combine is associative)."""
+
+    def comb(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb[..., None], vb, jnp.maximum(va, vb)), ra | rb
+
+    out, _ = jax.lax.associative_scan(comb, (vals, reset), axis=0)
+    return out
+
+
+def _segmax_gather_forward(pids, feats, num_rows: int):
+    """Raw (num_rows, C) per-pillar max; empty pillars at _NEG. Trash pids
+    (>= num_rows) are dropped by the index scatter."""
+    n = feats.shape[0]
+    order = jnp.argsort(pids).astype(jnp.int32)
+    spids = jnp.take(pids, order)
+    fs = _column_takes(feats, order)
+    reset = jnp.concatenate(
+        [jnp.ones((1,), bool), spids[1:] != spids[:-1]]
+    )
+    scanmax = _seg_cummax(fs, reset)
+    idx_map = (
+        jnp.full((num_rows,), -1, jnp.int32)
+        .at[spids]
+        .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    )
+    out = _column_takes(scanmax, jnp.maximum(idx_map, 0))
+    return jnp.where((idx_map >= 0)[:, None], out, _NEG)
+
+
+def _diff_scatter_gather_fn(num_rows: int):
+    @jax.custom_vjp
+    def core(pids, feats):
+        return _segmax_gather_forward(pids, feats, num_rows)
+
+    def fwd(pids, feats):
+        out = core(pids, feats)
+        return out, (pids, feats, out)
+
+    def bwd(residuals, g):
+        pids, feats, out = residuals
+        c = feats.shape[1]
+        safe = jnp.minimum(pids, num_rows - 1)
+        both = _column_takes(jnp.concatenate([g, out], axis=1), safe)
+        winner = (feats == both[:, c:]) & (pids < num_rows)[:, None]
+        return _float0_like(pids), jnp.where(winner, both[:, :c], 0.0)
+
+    core.defvjp(fwd, bwd)
+    return core
+
+
 def scatter_max(features: jax.Array, grid: PillarGrid) -> jax.Array:
     """Per-pillar max of point features -> (H, W, C) dense image.
 
     Empty pillars come out as 0 (not -inf)."""
     h, w = grid.grid_shape
     neg = jnp.finfo(features.dtype).min
+    if _scatter_engine() == "gather":
+        feats = jnp.where(grid.in_range[:, None], features.astype(jnp.float32), _NEG)
+        mx = _diff_scatter_gather_fn(h * w)(grid.pillar_ids, feats)
+        mx = jnp.where(mx <= _NEG / 2, 0.0, mx)
+        return mx.reshape(h, w, -1).astype(features.dtype)
     if _use_pallas():
         feats = jnp.where(grid.in_range[:, None], features, _NEG)
         mx = _scatter_rows_pallas(

@@ -53,6 +53,111 @@ def _time(fn, *args, rtt=0.0):
     return max(float(np.median(ts)) - rtt, 1e-9) / CHAIN
 
 
+def _primitive_probes(jax, jnp, rng, rtt):
+    """Cost of the XLA primitives the gather-composed scatter rides
+    (HIMO_BENCH_PRIMS=1): 1-D take, row take, 1-D scatter-max, segmented
+    cummax, and XLA's own sorted segment_max — per element, batched B."""
+    from himo_tpu.ops.voxelize import _seg_cummax
+
+    n, c = N, 32
+    src = jnp.asarray(rng.normal(size=(B, n, c)), jnp.float32)
+    idx_n = jnp.asarray(rng.integers(0, n, (B, n)), jnp.int32)
+    idx_hw = jnp.asarray(rng.integers(0, n, (B, ROWS)), jnp.int32)
+    spids = jnp.sort(jnp.asarray(rng.integers(0, ROWS, (B, n)), jnp.int32))
+
+    def chain(fn, consume, *args):
+        @jax.jit
+        def run(*a):
+            def body(carry, _):
+                out = fn(carry, *a[1:])
+                return consume(carry, out), None
+
+            o, _ = jax.lax.scan(body, a[0], None, length=CHAIN)
+            return jnp.sum(o[:, 0, 0] if o.ndim > 2 else o[:, 0])
+
+        return _time(run, *args, rtt=rtt)
+
+    # 1-D column take: C separate takes of (n,) by (n,) indices.
+    def col_takes(s, ix):
+        return jnp.stack(
+            [jnp.take(s[:, k], ix) for k in range(s.shape[1])], axis=1
+        )
+
+    t = chain(
+        lambda s, ix: jax.vmap(col_takes)(s, ix),
+        lambda s, o: s + 1e-12 * o,
+        src, idx_n,
+    )
+    print(f"  1-D col takes (B{B} n{n} C{c}):     {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/row ({1e9 * t / (B * n * c):.2f} ns/elem)")
+
+    t = chain(
+        lambda s, ix: jax.vmap(lambda a, b: jnp.take(a, b, axis=0))(s, ix),
+        lambda s, o: s + 1e-12 * o,
+        src, idx_n,
+    )
+    print(f"  row take (B{B} n{n} C{c}):          {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/row")
+
+    # wide 1-D take: image build (ROWS indices into an n-sized column)
+    def col_takes_hw(s, ix):
+        return jnp.stack(
+            [jnp.take(s[:, k], ix) for k in range(s.shape[1])], axis=1
+        )
+
+    t = chain(
+        lambda s, ix: jax.vmap(col_takes_hw)(s, ix),
+        lambda s, o: s + 1e-12 * o[:, : s.shape[1]],
+        src, idx_hw,
+    )
+    print(f"  1-D col takes to rows{ROWS}:        {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * ROWS):.2f} ns/row")
+
+    # 1-D int scatter-max into ROWS
+    def idx_scatter(s, sp):
+        m = (
+            jnp.full((ROWS,), -1, jnp.int32)
+            .at[sp]
+            .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
+        )
+        return m
+
+    t = chain(
+        lambda s, sp: jax.vmap(idx_scatter)(s, sp).astype(jnp.float32),
+        lambda s, o: s + 1e-12 * o[:, :1][:, None, :],
+        src, spids,
+    )
+    print(f"  1-D scatter-max idx map (n{n} -> rows{ROWS}): {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/pt")
+
+    # segmented cummax over the sorted stream
+    def segscan(s, sp):
+        reset = jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+        return _seg_cummax(s, reset)
+
+    t = chain(
+        lambda s, sp: jax.vmap(segscan)(s, sp),
+        lambda s, o: s + 1e-12 * o,
+        src, spids,
+    )
+    print(f"  seg cummax (B{B} n{n} C{c}):        {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/pt")
+
+    # XLA segment_max with sorted hint (the straight alternative)
+    def seg_max(s, sp):
+        return jax.ops.segment_max(
+            s, sp, num_segments=ROWS, indices_are_sorted=True
+        )
+
+    t = chain(
+        lambda s, sp: jax.vmap(seg_max)(s, sp),
+        lambda s, o: s + 1e-12 * o[:, : s.shape[1]],
+        src, spids,
+    )
+    print(f"  XLA segment_max sorted (n{n} -> rows{ROWS}): {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/pt")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -87,8 +192,12 @@ def main():
         return jnp.sum(out[:, 0, 0])
 
     t = _time(scatter_chain, pc, valid, feats, rtt=rtt)
-    print(f"scatter_max fwd (B{B} N{N} C{C} rows{ROWS}): {1e3 * t:.1f} ms "
+    print(f"scatter_max fwd (B{B} N{N} C{C} rows{ROWS}, "
+          f"engine={os.environ.get('HIMO_SCATTER', 'pallas')}): {1e3 * t:.1f} ms "
           f"= {1e9 * t / (B * N):.1f} ns/pt")
+
+    if os.environ.get("HIMO_BENCH_PRIMS", "0") == "1":
+        _primitive_probes(jax, jnp, rng, rtt)
 
     @jax.jit
     def scatter_grad_chain(pc, valid, feats):

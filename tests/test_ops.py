@@ -512,3 +512,67 @@ def test_scatter_max_bwd_pallas_route(monkeypatch):
     monkeypatch.delenv("HIMO_MAXBWD_PALLAS")
     _diff_scatter_sorted_fn.cache_clear()
     np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), atol=1e-5)
+
+
+class TestScatterMaxGatherEngine:
+    """HIMO_SCATTER=gather: the gather-composed scatter-max (segmented
+    cummax + 1-D index scatter + column takes) must match the default
+    engine bit-for-bit in forward and gradients."""
+
+    def _make(self, rng, n=700, c=9):
+        cfg = PillarConfig(
+            x_range=(-8.0, 8.0), y_range=(-8.0, 8.0), voxel_size=(0.5, 0.5)
+        )
+        pts = rng.uniform(-9.0, 9.0, size=(n, 3)).astype(np.float32)
+        pts[:, 2] = 0.0
+        valid = rng.random(n) > 0.15  # some masked AND some out-of-range
+        grid = voxelize_pillars(jnp.asarray(pts), jnp.asarray(valid), cfg)
+        feats = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+        return grid, feats
+
+    def test_forward_matches_default(self, rng, monkeypatch):
+        grid, feats = self._make(rng)
+        ref = np.asarray(scatter_max(feats, grid))
+        monkeypatch.setenv("HIMO_SCATTER", "gather")
+        out = np.asarray(scatter_max(feats, grid))
+        np.testing.assert_array_equal(out, ref)
+
+    def test_gradients_match_default(self, rng, monkeypatch):
+        grid, feats = self._make(rng, n=400, c=5)
+
+        def loss(f):
+            return jnp.sum(scatter_max(f, grid) ** 2)
+
+        g_ref = np.asarray(jax.grad(loss)(feats))
+        monkeypatch.setenv("HIMO_SCATTER", "gather")
+        g_out = np.asarray(jax.grad(loss)(feats))
+        np.testing.assert_allclose(g_out, g_ref, atol=1e-5)
+
+    def test_vmap_matches_loop(self, rng, monkeypatch):
+        monkeypatch.setenv("HIMO_SCATTER", "gather")
+        cfg = PillarConfig(
+            x_range=(-4.0, 4.0), y_range=(-4.0, 4.0), voxel_size=(0.5, 0.5)
+        )
+        b, n, c = 3, 256, 4
+        pts = rng.uniform(-4.5, 4.5, size=(b, n, 3)).astype(np.float32)
+        pts[..., 2] = 0.0
+        feats = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+
+        def one(p, f):
+            grid = voxelize_pillars(p, config=cfg)
+            return scatter_max(f, grid)
+
+        batched = np.asarray(jax.vmap(one)(jnp.asarray(pts), feats))
+        for i in range(b):
+            ref = np.asarray(one(jnp.asarray(pts[i]), feats[i]))
+            np.testing.assert_allclose(batched[i], ref, atol=1e-6)
+
+    def test_all_trash_frame_is_zero(self, monkeypatch):
+        monkeypatch.setenv("HIMO_SCATTER", "gather")
+        cfg = PillarConfig(
+            x_range=(0.0, 2.0), y_range=(0.0, 2.0), voxel_size=(1.0, 1.0)
+        )
+        pts = np.full((16, 3), 99.0, dtype=np.float32)  # all out of range
+        grid = voxelize_pillars(jnp.asarray(pts), config=cfg)
+        out = np.asarray(scatter_max(jnp.ones((16, 3), np.float32), grid))
+        assert (out == 0.0).all()
