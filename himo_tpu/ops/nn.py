@@ -707,9 +707,13 @@ def segment_rows_sum(vals, idx, num_segments: int):
         _interpret,
         _pad_for_scatter,
         _pallas_fits,
+        _scatter_engine,
         _scatter_rows_fn,
+        _seggather_forward,
     )
 
+    if _scatter_engine() == "gather":
+        return _seggather_forward(idx, vals, num_segments, "sum")
     if (_on_tpu() or _interpret()) and _pallas_fits(num_segments, vals.shape[1]):
         pids, vals = _pad_for_scatter(idx, vals, num_segments)
         out = _scatter_rows_fn(num_segments, "sum", _interpret())(pids, vals)

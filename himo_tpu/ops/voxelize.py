@@ -910,9 +910,22 @@ def _seg_cummax(vals: jax.Array, reset: jax.Array) -> jax.Array:
     return out
 
 
-def _segmax_gather_forward(pids, feats, num_rows: int):
-    """Raw (num_rows, C) per-pillar max; empty pillars at _NEG. Trash pids
-    (>= num_rows) are dropped by the index scatter."""
+def _seg_cumsum(vals: jax.Array, reset: jax.Array) -> jax.Array:
+    """Inclusive running sum over (N, C) with segment restarts."""
+
+    def comb(a, b):
+        va, ra = a
+        vb, rb = b
+        return jnp.where(rb[..., None], vb, va + vb), ra | rb
+
+    out, _ = jax.lax.associative_scan(comb, (vals, reset), axis=0)
+    return out
+
+
+def _seggather_forward(pids, feats, num_rows: int, combine: str):
+    """Raw (num_rows, C) per-pillar reduction via the gather composition;
+    empty pillars at _NEG (max) / 0 (sum). Trash pids (>= num_rows) are
+    dropped by the index scatter."""
     n = feats.shape[0]
     order = jnp.argsort(pids).astype(jnp.int32)
     spids = jnp.take(pids, order)
@@ -920,14 +933,19 @@ def _segmax_gather_forward(pids, feats, num_rows: int):
     reset = jnp.concatenate(
         [jnp.ones((1,), bool), spids[1:] != spids[:-1]]
     )
-    scanmax = _seg_cummax(fs, reset)
+    scan = (_seg_cummax if combine == "max" else _seg_cumsum)(fs, reset)
     idx_map = (
         jnp.full((num_rows,), -1, jnp.int32)
         .at[spids]
         .max(jnp.arange(n, dtype=jnp.int32), mode="drop")
     )
-    out = _column_takes(scanmax, jnp.maximum(idx_map, 0))
-    return jnp.where((idx_map >= 0)[:, None], out, _NEG)
+    out = _column_takes(scan, jnp.maximum(idx_map, 0))
+    empty = _NEG if combine == "max" else 0.0
+    return jnp.where((idx_map >= 0)[:, None], out, empty)
+
+
+def _segmax_gather_forward(pids, feats, num_rows: int):
+    return _seggather_forward(pids, feats, num_rows, "max")
 
 
 def _diff_scatter_gather_fn(num_rows: int):

@@ -576,3 +576,22 @@ class TestScatterMaxGatherEngine:
         grid = voxelize_pillars(jnp.asarray(pts), config=cfg)
         out = np.asarray(scatter_max(jnp.ones((16, 3), np.float32), grid))
         assert (out == 0.0).all()
+
+
+def test_segment_rows_sum_gather_engine(monkeypatch, rng):
+    """HIMO_SCATTER=gather routes segment_rows_sum through the segmented
+    cumsum + takes composition; must match XLA segment_sum exactly."""
+    from himo_tpu.ops.nn import segment_rows_sum
+
+    n, seg, c = 513, 97, 7
+    idx = jnp.asarray(rng.integers(0, seg + 3, size=n).astype(np.int32))
+    vals = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32))
+    ref = np.asarray(
+        jax.ops.segment_sum(
+            jnp.where((idx < seg)[:, None], vals, 0.0), jnp.minimum(idx, seg - 1),
+            num_segments=seg,
+        )
+    )
+    monkeypatch.setenv("HIMO_SCATTER", "gather")
+    out = np.asarray(segment_rows_sum(vals, idx, seg))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
