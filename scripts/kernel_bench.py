@@ -143,6 +143,20 @@ def _primitive_probes(jax, jnp, rng, rtt):
     print(f"  seg cummax (B{B} n{n} C{c}):        {1e3 * t:.2f} ms = "
           f"{1e9 * t / (B * n):.2f} ns/pt")
 
+    # searchsorted alternative to the 1-D index scatter: per-pillar end
+    # index = searchsorted(spids, row, 'right') - 1 (17 rounds of 1-D takes)
+    def ssorted(s, sp):
+        e = jnp.searchsorted(sp, jnp.arange(ROWS, dtype=sp.dtype), side="right")
+        return (e - 1).astype(jnp.float32)
+
+    t = chain(
+        lambda s, sp: jax.vmap(ssorted)(s, sp),
+        lambda s, o: s + 1e-12 * o[:, :1][:, None, :],
+        src, spids,
+    )
+    print(f"  searchsorted idx map (n{n} -> rows{ROWS}): {1e3 * t:.2f} ms = "
+          f"{1e9 * t / (B * n):.2f} ns/pt")
+
     # XLA segment_max with sorted hint (the straight alternative)
     def seg_max(s, sp):
         return jax.ops.segment_max(
