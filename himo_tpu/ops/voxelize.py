@@ -868,19 +868,20 @@ def scatter_mean(
 
 
 # ------------------------------------------- gather-composed scatter (max)
-# The Pallas scatter kernels above bottom out at the scalar unit's ~20-cycle
-# random-row VMEM store (~21 ns/point — TODO.md "scatter floor"). This
-# variant escapes the scalar unit by transposing the problem into forms the
-# VPU can vectorize:
-#   1. sort points by pillar id (argsort, already the sorted-prep cost);
-#   2. segmented running max over the SORTED stream via associative_scan
-#      (log2 N elementwise passes, no data-dependent addressing) — each
-#      segment's END row then holds its pillar's max;
-#   3. per-pillar end index via ONE 1-D int scatter-max;
-#   4. dense image columns via per-column 1-D takes at those indices.
-# Everything is plain XLA, so vmap needs no custom rules. Whether 1-D
-# takes/scatters actually vectorize on this chip is an empirical question —
-# selected by HIMO_SCATTER=gather after a chip A/B (scripts/kernel_bench.py).
+# REJECTED BY EXPERIMENT — kept (env-gated off, tested) as the measured
+# record so the transpose idea isn't retried. Hypothesis: escape the scalar
+# unit's ~20-cycle random-row store floor by transposing scatter into
+# vectorizable forms — segmented running max over the pid-sorted stream
+# (associative_scan), one 1-D int scatter-max for per-pillar end indices,
+# per-column 1-D takes to build the image. Chip A/B (v5e, B8 N65k C33
+# rows 512², scripts/kernel_bench.py HIMO_BENCH_PRIMS=1): 1-D column takes
+# do NOT vectorize (252.8 ns/row = C x 7.9; a single ROW take is 7.9
+# ns/row with width free — the opposite of the _take_cols hypothesis),
+# seg-cummax costs 55.3 ns/pt (17 associative_scan passes), searchsorted
+# 539 ns/pt, XLA sorted segment_max 117.9 ns/pt. Composite: 2908 ns/pt vs
+# the Pallas kernel's 30.1 — 96x slower. Only the 1-D INT scatter is
+# vector-fast (6.96 ns/pt), which cannot carry C feature channels.
+# Selected by HIMO_SCATTER=gather (default: pallas).
 
 
 def _scatter_engine() -> str:
