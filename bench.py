@@ -69,8 +69,15 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     from himo_tpu.models.feedforward import init_params, make_model
     from himo_tpu.ops.voxelize import PillarConfig
 
+    import os
+
     pillar = PillarConfig(voxel_size=(pillar_voxel, pillar_voxel))
-    model, config = make_model("seflowpp", pillar=pillar, dtype="bfloat16")
+    # HIMO_BENCH_POOLING flips the pillar encoder between the scalar-store
+    # max path and the MXU mean_sorted path for A/Bs (default: max).
+    pooling = os.environ.get("HIMO_BENCH_POOLING", "max")
+    model, config = make_model(
+        "seflowpp", pillar=pillar, dtype="bfloat16", pooling=pooling
+    )
     params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
 
     def frame(params, pc0, pc1, pc_hist, valid, dt0):

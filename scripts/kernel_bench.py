@@ -176,14 +176,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from himo_tpu.ops.nn import nn_argmin, nn_distance_sq
     from himo_tpu.ops.voxelize import PillarConfig, voxelize_pillars
 
     rtt = _rtt(jnp, jax)
     print(f"device={jax.devices()[0].platform} rtt={1e3 * rtt:.1f} ms")
     rng = np.random.default_rng(0)
+    only = os.environ.get("HIMO_BENCH_ONLY", "")
 
     # ---- scatter fwd+bwd at training shapes (B, N, C) -> 512^2 rows
+    if only == "mxu":
+        _mxu_section(jax, jnp, rng, rtt)
+        return
+    if only and only != "scatter":
+        _nn_section(jax, jnp, rng, rtt)
+        return
     pc = jnp.asarray(rng.uniform(-50, 50, (B, N, 3)), jnp.float32)
     valid = jnp.asarray(rng.uniform(size=(B, N)) < 0.92)
     feats = jnp.asarray(rng.normal(size=(B, N, C)), jnp.float32)
@@ -229,6 +235,113 @@ def main():
     t = _time(scatter_grad_chain, pc, valid, feats, rtt=rtt)
     print(f"scatter_max fwd+bwd (MAXBWD_PALLAS="
           f"{os.environ.get('HIMO_MAXBWD_PALLAS', '0')}): {1e3 * t:.1f} ms")
+
+    if only != "scatter":
+        _nn_section(jax, jnp, rng, rtt)
+
+
+def _mxu_section(jax, jnp, rng, rtt):
+    """MXU one-hot scatter/gather vs the scalar sorted-banded kernels, on
+    LiDAR-like (realistically clustered) pid streams at the 512^2 grid.
+    HIMO_BENCH_ONLY=mxu; sweep HIMO_MXU_WIN across runs. The fp32 variant
+    runs the one-hot matmul at HIGHEST precision (6 passes); bf16 runs
+    DEFAULT on bf16 operands with fp32 accumulate — exact for 0/1 masks,
+    so only the feats carry bf16 rounding (the bf16 model's native dtype)."""
+    import bench as _bench
+    from himo_tpu.ops.mxu_scatter import gather_rows_sorted, scatter_sum_sorted
+    from himo_tpu.ops.voxelize import PillarConfig, scatter_max, voxelize_pillars
+
+    pillar = PillarConfig(voxel_size=(0.2, 0.2))
+    pc = jnp.asarray(_bench.lidar_like_cloud(np.random.default_rng(0), B, N))
+    valid = jnp.asarray(rng.uniform(size=(B, N)) < 0.92)
+    feats = jnp.asarray(rng.normal(size=(B, N, C - 1)), jnp.float32)
+
+    def prep(p, v, f):
+        grid = voxelize_pillars(p, v, pillar)
+        order = jnp.argsort(grid.pillar_ids).astype(jnp.int32)
+        spids = jnp.take(grid.pillar_ids, order)
+        fs = jnp.take(f, order, axis=0)
+        return spids, fs
+
+    spids, fsort = jax.jit(jax.vmap(prep))(pc, valid, feats)
+    win = os.environ.get("HIMO_MXU_WIN", "1024")
+
+    def chain(fn):
+        @jax.jit
+        def run(spids, fs):
+            def body(f, _):
+                img = fn(spids, f)
+                f2 = f + img[:, 0, 0].reshape(B, 1, 1) * 1e-9
+                return f2, None
+
+            out, _ = jax.lax.scan(body, fs, None, length=CHAIN)
+            return jnp.sum(out[:, 0, 0])
+
+        return run
+
+    rows = 512 * 512
+    for name, fn in [
+        ("mxu sum fp32", lambda s, f: jax.vmap(
+            lambda si, fi: scatter_sum_sorted(si, fi, num_rows=rows)
+        )(s, f)),
+        ("mxu sum bf16", lambda s, f: jax.vmap(
+            lambda si, fi: scatter_sum_sorted(
+                si, fi, num_rows=rows, mxu_bf16=True
+            )
+        )(s, f)),
+    ]:
+        t = _time(chain(fn), spids, fsort, rtt=rtt)
+        print(f"{name} (B{B} N{N} C{C - 1} rows 512², win={win}): "
+              f"{1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
+
+    # Scalar sorted-banded max on the SAME clouds, for a clean baseline.
+    def smax(p, v, f):
+        return scatter_max(f, voxelize_pillars(p, v, pillar))
+
+    @jax.jit
+    def max_chain(pc, valid, feats):
+        def body(f, _):
+            img = jax.vmap(smax)(pc, valid, f)
+            f2 = f + img[:, 0, 0, 0].reshape(B, 1, 1) * 1e-9
+            return f2, None
+
+        out, _ = jax.lax.scan(body, feats, None, length=CHAIN)
+        return jnp.sum(out[:, 0, 0])
+
+    t = _time(max_chain, pc, valid, feats, rtt=rtt)
+    print(f"scalar max incl. prep (same clouds): {1e3 * t:.1f} ms "
+          f"= {1e9 * t / (B * N):.1f} ns/pt")
+
+    # Gather pair at UNet-output width (C=64), both precisions.
+    img = jnp.asarray(rng.normal(size=(B, rows + 8, 64)), jnp.float32)
+
+    def gchain(bf16):
+        @jax.jit
+        def run(spids, img):
+            def body(im, _):
+                g = jax.vmap(
+                    lambda si, ii: gather_rows_sorted(
+                        si, ii, num_rows=rows, mxu_bf16=bf16
+                    )
+                )(spids, im)
+                im2 = im + g[:, 0, 0].reshape(B, 1, 1) * 1e-9
+                return im2, None
+
+            out, _ = jax.lax.scan(body, img, None, length=CHAIN)
+            return jnp.sum(out[:, 0, 0])
+
+        return run
+
+    for name, bf in [("mxu gather fp32", False), ("mxu gather bf16", True)]:
+        t = _time(gchain(bf), spids, img, rtt=rtt)
+        print(f"{name} (C64, win={win}): {1e3 * t:.1f} ms "
+              f"= {1e9 * t / (B * N):.1f} ns/pt")
+
+
+def _nn_section(jax, jnp, rng, rtt):
+    """NN loss kernels at 16k x 16k; split out so HIMO_BENCH_ONLY=nn can
+    sweep HIMO_NN_RT without paying the scatter compiles."""
+    from himo_tpu.ops.nn import nn_argmin, nn_distance_sq
 
     # ---- NN kernels at loss shapes (16k x 16k)
     q = jnp.asarray(rng.uniform(-50, 50, (B, 16384, 3)), jnp.float32)
