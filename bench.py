@@ -75,6 +75,10 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     # HIMO_BENCH_POOLING flips the pillar encoder between the scalar-store
     # max path and the MXU mean_sorted path for A/Bs (default: max).
     pooling = os.environ.get("HIMO_BENCH_POOLING", "max")
+    if pooling not in ("max", "mean_sorted"):
+        raise ValueError(
+            f"HIMO_BENCH_POOLING={pooling!r} is not one of ('max', 'mean_sorted')"
+        )
     model, config = make_model(
         "seflowpp", pillar=pillar, dtype="bfloat16", pooling=pooling
     )

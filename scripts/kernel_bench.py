@@ -6,7 +6,18 @@ honoring the env knobs they A/B:
 - pillar scatter-max forward + backward (HIMO_MAXBWD_PALLAS routes the
   max-backward's fused row-take through the Pallas gather vs XLA take);
 - the NN loss kernels: plain min pass vs the min+argmin pass
-  (HIMO_NN_RT sweeps the reference tile).
+  (HIMO_NN_RT sweeps the reference tile);
+- the MXU one-hot scatter/gather pair vs the scalar sorted-banded kernels
+  (HIMO_MXU_WIN sweeps the accumulator window rows).
+
+Section selection via HIMO_BENCH_ONLY:
+    (unset/'')  scatter fwd+bwd, then the NN section
+    'scatter'   scatter fwd+bwd only
+    'nn'        NN section only (sweep HIMO_NN_RT cheaply)
+    'mxu'       MXU one-hot scatter/gather A/B only (sweep HIMO_MXU_WIN)
+Any other value exits with an error (a typo must not silently run the
+wrong section). HIMO_BENCH_PRIMS=1 adds the XLA-primitive probes to the
+scatter section.
 
 Timing follows the CLAUDE.md rules for the axon tunnel: K dependent
 iterations per dispatch inside one jit, scalar readback with np.asarray,
@@ -182,12 +193,16 @@ def main():
     print(f"device={jax.devices()[0].platform} rtt={1e3 * rtt:.1f} ms")
     rng = np.random.default_rng(0)
     only = os.environ.get("HIMO_BENCH_ONLY", "")
+    if only not in ("", "scatter", "nn", "mxu"):
+        raise SystemExit(
+            f"HIMO_BENCH_ONLY={only!r} is not one of '', 'scatter', 'nn', 'mxu'"
+        )
 
     # ---- scatter fwd+bwd at training shapes (B, N, C) -> 512^2 rows
     if only == "mxu":
         _mxu_section(jax, jnp, rng, rtt)
         return
-    if only and only != "scatter":
+    if only == "nn":
         _nn_section(jax, jnp, rng, rtt)
         return
     pc = jnp.asarray(rng.uniform(-50, 50, (B, N, 3)), jnp.float32)
@@ -293,6 +308,29 @@ def _mxu_section(jax, jnp, rng, rtt):
         t = _time(chain(fn), spids, fsort, rtt=rtt)
         print(f"{name} (B{B} N{N} C{C - 1} rows 512², win={win}): "
               f"{1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
+
+    # Symmetric variant: the MXU sum paying its OWN prep (voxelize + argsort
+    # + takes) inside the chain, so its ns/pt compares the same work as the
+    # "scalar max incl. prep" line below (the kernel-only lines above time
+    # presorted streams).
+    @jax.jit
+    def mxu_prep_chain(pc, valid, feats):
+        def body(f, _):
+            sp, fs = jax.vmap(prep)(pc, valid, f)
+            img = jax.vmap(
+                lambda si, fi: scatter_sum_sorted(
+                    si, fi, num_rows=rows, mxu_bf16=True
+                )
+            )(sp, fs)
+            f2 = f + img[:, 0, 0].reshape(B, 1, 1) * 1e-9
+            return f2, None
+
+        out, _ = jax.lax.scan(body, feats, None, length=CHAIN)
+        return jnp.sum(out[:, 0, 0])
+
+    t = _time(mxu_prep_chain, pc, valid, feats, rtt=rtt)
+    print(f"mxu sum bf16 incl. prep (same clouds): {1e3 * t:.1f} ms "
+          f"= {1e9 * t / (B * N):.1f} ns/pt")
 
     # Scalar sorted-banded max on the SAME clouds, for a clean baseline.
     def smax(p, v, f):
