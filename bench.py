@@ -125,6 +125,49 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     return BATCH * n_valid / elapsed
 
 
+def measure_fleet_e2e() -> float:
+    """END-TO-END fleet throughput: h5 read -> host pack -> device flow
+    inference + de-skew -> h5 flow write-back, via the public
+    ``fleet_save`` surface (the path the reference leaves as a sequential
+    per-frame host loop, /root/reference/eval.py:281).
+
+    Dataset build + jit compile are excluded (first pass warms both); the
+    measured pass pays every host cost: io_uring preload, h5 decode,
+    rigid_flow, native pack, tunnel transfer, and the final write-back."""
+    import shutil
+    from pathlib import Path
+
+    import jax
+
+    from himo_tpu.data.synthetic import make_dataset
+    from himo_tpu.models.feedforward import init_params, make_model
+    from himo_tpu.parallel.fleet import FleetConfig, fleet_save
+
+    root = Path("/tmp/himo_fleet_bench")
+    marker = root / "index_eval.pkl"
+    if not marker.exists():
+        shutil.rmtree(root, ignore_errors=True)
+        make_dataset(
+            root, num_scenes=12, num_frames=5, num_background=64000, seed=0
+        )
+    model, _ = make_model("seflowpp", dtype="bfloat16")
+    params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
+    config = FleetConfig(num_points=NUM_POINTS, batch_per_device=BATCH)
+    common = dict(
+        model="seflowpp",
+        params=params,
+        output_key="fleet_bench",
+        config=config,
+        model_overrides={"dtype": "bfloat16"},
+        verbose=False,
+    )
+    fleet_save(str(root), **common)  # compile + page-cache warmup
+    t0 = time.perf_counter()
+    stats = fleet_save(str(root), **common)
+    elapsed = time.perf_counter() - t0  # includes the h5 write-back
+    return stats["points"] / max(elapsed, 1e-9)
+
+
 def _probe_device(timeout_s: float = 180.0) -> None:
     """Fail fast when the device is unreachable. A hung axon tunnel blocks
     the first device touch inside a C call FOREVER — neither SIGALRM nor
@@ -176,6 +219,12 @@ def main() -> dict:
         "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
         "secondary_256": round(secondary / 1e6, 3),
     }
+    # Host-inclusive fleet number (h5 -> pack -> device -> write-back); kept
+    # non-fatal so an IO hiccup cannot sink the compute headline.
+    try:
+        result["e2e_fleet_512"] = round(measure_fleet_e2e() / 1e6, 3)
+    except Exception as e:  # pragma: no cover - diagnostic path
+        result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
     return result
 

@@ -70,6 +70,15 @@ class FlowNetConfig:
     # one-hot matmul kernels in ops/mxu_scatter.py — a few cycles/point,
     # and the backward is matmuls too).
     pooling: str = "max"
+    # Learned static-vs-dynamic gate head (himo_tpu extension): the decoder
+    # emits a 4th channel g and the network returns sigmoid(g) * flow.
+    # Supervised with BCE against the SSL dynamic mask (losses.gate_loss)
+    # while static_flow_loss acts on the GATED output, so static-background
+    # fidelity lives in the MODEL — zero residual on static points at
+    # inference without any save-path thresholding. Round-3 measurement
+    # motivating it: ungated seflowpp smeared static background at
+    # EPE_BS 0.138 vs nsfp 0.009 while leading EPE_FD.
+    gate_head: bool = False
 
 
 class PointFeatureNet(nn.Module):
@@ -160,11 +169,16 @@ class UNet(nn.Module):
 
 
 class DeFlowGRUDecoder(nn.Module):
-    """Iterative voxel-to-point refinement (DeFlow-style GRU)."""
+    """Iterative voxel-to-point refinement (DeFlow-style GRU).
+
+    With ``gate=True`` the head emits 4 channels — (flow xyz, gate logit) —
+    from the shared refined state, so the dynamic evidence the flow needs is
+    the same evidence the gate reads."""
 
     hidden: int
     iters: int
     dtype: jnp.dtype
+    gate: bool = False
 
     @nn.compact
     def __call__(self, pillar_feat, point_feat):
@@ -175,7 +189,8 @@ class DeFlowGRUDecoder(nn.Module):
             h, _ = gru(h, inp)
         x = nn.Dense(self.hidden, dtype=self.dtype)(h)
         x = nn.relu(x)
-        return nn.Dense(3, dtype=jnp.float32)(x)
+        out = nn.Dense(4 if self.gate else 3, dtype=jnp.float32)(x)
+        return (out[:, :3], out[:, 3]) if self.gate else out
 
 
 class LinearDecoder(nn.Module):
@@ -183,6 +198,7 @@ class LinearDecoder(nn.Module):
 
     hidden: int
     dtype: jnp.dtype
+    gate: bool = False
 
     @nn.compact
     def __call__(self, pillar_feat, point_feat):
@@ -191,7 +207,8 @@ class LinearDecoder(nn.Module):
         x = nn.relu(x)
         x = nn.Dense(self.hidden, dtype=self.dtype)(x)
         x = nn.relu(x)
-        return nn.Dense(3, dtype=jnp.float32)(x)
+        out = nn.Dense(4 if self.gate else 3, dtype=jnp.float32)(x)
+        return (out[:, :3], out[:, 3]) if self.gate else out
 
 
 class SceneFlowNet(nn.Module):
@@ -200,7 +217,10 @@ class SceneFlowNet(nn.Module):
     config: FlowNetConfig
 
     @nn.compact
-    def __call__(self, sweeps, valids, prior=None):
+    def __call__(
+        self, sweeps, valids, prior=None, with_gate: bool = False,
+        soft_gate: bool = False,
+    ):
         """
         Args:
             sweeps: tuple of (N_i, 3) clouds — (pc0_comp, pc1[, pc_hist]);
@@ -208,6 +228,14 @@ class SceneFlowNet(nn.Module):
             valids: matching validity masks.
             prior: optional (N_0, 3) translation prior for sweep 0
                 (``config.prior_feat`` — zeros when absent).
+            with_gate: also return the gate LOGITS (input point order) for
+                the BCE supervision term; requires ``config.gate_head``.
+            soft_gate: multiply flow by sigmoid(gate) instead of the hard
+                (> 0.5) cut. Training uses soft (differentiable; the BCE
+                saturates it over the run); inference uses HARD — a soft
+                0.9 gate would shrink a 3 m dynamic flow by 0.3 m, wrecking
+                the strict-accuracy metrics, while the hard cut keeps full
+                magnitude on open gates and exact zero on closed ones.
         """
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -280,19 +308,41 @@ class SceneFlowNet(nn.Module):
             pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)
         point_feat = feats[0]
         if cfg.decoder == "deflow":
-            flow = DeFlowGRUDecoder(cfg.base_channels * 2, cfg.gru_iters, dtype)(
+            out = DeFlowGRUDecoder(
+                cfg.base_channels * 2, cfg.gru_iters, dtype, gate=cfg.gate_head
+            )(pillar_feat, point_feat)
+        else:
+            out = LinearDecoder(cfg.base_channels * 2, dtype, gate=cfg.gate_head)(
                 pillar_feat, point_feat
             )
+        gate_logit = None
+        if cfg.gate_head:
+            flow, gate_logit = out
+            if soft_gate:
+                flow = flow * jax.nn.sigmoid(gate_logit)[:, None]
+            else:
+                flow = jnp.where((gate_logit > 0.0)[:, None], flow, 0.0)
         else:
-            flow = LinearDecoder(cfg.base_channels * 2, dtype)(pillar_feat, point_feat)
+            flow = out
         flow = flow.astype(jnp.float32)
         if sorted_mode:
             # Un-sort back to input point order. take_rows' transpose runs
             # through the Pallas sum-scatter (XLA's unsorted scatter-add of
             # the incoming gradient would cost ~70 ns/point).
             inv = jnp.argsort(sweep0[0]).astype(jnp.int32)
-            flow = take_rows(flow, inv)
-        return jnp.where(valids[0][:, None], flow, 0.0)
+            cols = flow
+            if gate_logit is not None:
+                cols = jnp.concatenate([flow, gate_logit[:, None]], axis=1)
+            cols = take_rows(cols, inv)
+            flow, gate_logit = cols[:, :3], (
+                cols[:, 3] if gate_logit is not None else None
+            )
+        flow = jnp.where(valids[0][:, None], flow, 0.0)
+        if with_gate:
+            if gate_logit is None:
+                raise ValueError("with_gate=True requires config.gate_head")
+            return flow, gate_logit.astype(jnp.float32)
+        return flow
 
 
 def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
@@ -304,11 +354,18 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         "fastflow3d": dict(decoder="linear", num_frames=2),
         "deflow": dict(decoder="deflow", num_frames=2),
         "deflowpp": dict(decoder="deflow", num_frames=3),
-        "seflowpp": dict(decoder="deflow", num_frames=3),
-        "seflow": dict(decoder="deflow", num_frames=2),
+        # The SSL flagships carry the learned static-vs-dynamic gate head:
+        # SSL training's chamfer pulls static points toward sensor noise
+        # (measured round 3: EPE_BS 0.138 on the ungated flagship), and the
+        # gate — trained against the same SSL dynamic evidence the losses
+        # already use — zeroes static residual in the model itself.
+        "seflowpp": dict(decoder="deflow", num_frames=3, gate_head=True),
+        "seflow": dict(decoder="deflow", num_frames=2, gate_head=True),
         # himo_tpu extension: SeFlow++ conditioned on the verified cluster
         # translation prior (3 extra PFN channels on sweep 0).
-        "seflowpp_prior": dict(decoder="deflow", num_frames=3, prior_feat=True),
+        "seflowpp_prior": dict(
+            decoder="deflow", num_frames=3, prior_feat=True, gate_head=True
+        ),
     }
     if name not in presets:
         raise KeyError(f"unknown feed-forward model {name!r}")

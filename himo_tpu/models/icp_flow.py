@@ -224,6 +224,122 @@ def _pair_alignment_error(
     return float(max(_trimmed_mean(fwd, trim), _trimmed_mean(bwd, trim)))
 
 
+def motion_beats_null(
+    pts0: np.ndarray,
+    pc0_full: np.ndarray,
+    pc1_full: np.ndarray,
+    delta: np.ndarray,
+    dt0=None,
+    dt0_full=None,
+    dt1_full=None,
+    period: float = 0.1,
+    expand: float = 0.5,
+    trim: float = 0.7,
+    ratio: float = 0.75,
+    exclude=None,
+) -> str:
+    """Zero-motion NULL TEST for a cluster's motion claim.
+
+    A spurious delta on re-sampled sparse STATIC structure arises from
+    biased subset selection: the dynamic mask flags only the worst-sampled
+    shards of the surface, and aligning frame A's shard with frame B's
+    (different) shard produces a real ~0.6 m offset that verifies within
+    the density-aware tolerance (measured: tests/test_matcher_stress.py
+    stop-and-go, delta 0.59 at verify err 0.39). Point-level local
+    thresholds cannot fix this — static-resample and fast-smear-interior
+    residual/spacing ratios overlap (p50 1.0 vs 1.7, measured).
+
+    The cluster-level falsifier: expand the claimed subset with the pc0
+    points around it (the under-threshold rest of the object) and score the
+    trimmed one-sided alignment error against the raw local pc1 window
+    under the claimed delta AND under zero. A true mover's full body aligns
+    only under its delta (the null leaves the whole smear unexplained); a
+    static shard's neighborhood aligns BETTER under zero. ``trim`` absorbs
+    adjacent static contamination (wall/ground points inside the expanded
+    set fail under the true delta). ``exclude`` (bool over pc0_full) bars
+    points from the expansion — pass OTHER clusters' points, or two
+    converging objects bridge into one evidence set whose halves misfit
+    under either true delta (measured: crossing objects ~3 m apart both
+    demoted at the closest pair).
+
+    Returns a verdict:
+      - ``'motion'``    — the delta explains the evidence clearly better;
+      - ``'static'``    — zero motion genuinely fits (emit a zero claim:
+        the object is matched and did not move);
+      - ``'ambiguous'`` — NEITHER fits (e.g. the pair violates the
+        constant-velocity smear model). Callers should drop the claim
+        rather than assert static."""
+    from himo_tpu.training.ssl_labels import nn_residual_distances
+
+    delta = np.asarray(delta, np.float32)
+    p0 = np.asarray(pc0_full)[:, :3]
+    # Expand the claim with its connected neighborhood — TRANSITIVELY, at a
+    # radius scaled to the claim's own sampling spacing. The claim set is
+    # SELECTION-BIASED (the dynamic mask flagged exactly the points whose
+    # zero-motion residual is high), so judging on it alone lets a fitted
+    # spurious delta beat the null by construction (measured: shard claim
+    # err_d 0.133 vs err_0 0.194 on a fully static object at one 0.5 m
+    # hop). Three spacing-scaled hops pull in the under-threshold rest of
+    # the object, diluting the bias with unbiased evidence.
+    r_hop = float(min(max(expand, 2.5 * _cluster_spacing(pts0)), 1.5))
+    lo = pts0[:, :3].min(0) - 3 * r_hop
+    hi = pts0[:, :3].max(0) + 3 * r_hop
+    nearby = np.all((p0 >= lo) & (p0 <= hi), axis=1)
+    if exclude is not None:
+        nearby &= ~np.asarray(exclude, bool)
+    cand_ix = np.flatnonzero(nearby)
+    in_set = np.zeros(len(cand_ix), bool)
+    if len(cand_ix):
+        seed = pts0[:, :3]
+        for _ in range(3):
+            rest = ~in_set
+            if not rest.any() or len(seed) == 0:
+                break
+            d_near = nn_residual_distances(p0[cand_ix[rest]], seed)
+            grew = np.zeros(len(cand_ix), bool)
+            grew[np.flatnonzero(rest)[d_near <= r_hop]] = True
+            if not grew.any():
+                break
+            in_set |= grew
+            seed = p0[cand_ix[in_set]]
+    cand_ix = cand_ix[in_set]
+    if len(cand_ix) >= len(pts0):
+        exp0 = p0[cand_ix]
+        exp_dt0 = None if dt0_full is None else np.asarray(dt0_full)[cand_ix]
+    else:  # degenerate fallback: the claim is its own neighborhood
+        exp0 = pts0[:, :3]
+        exp_dt0 = dt0
+    # pc1 window: everything the object could cover under either hypothesis.
+    p1 = np.asarray(pc1_full)[:, :3]
+    lo = np.minimum(exp0.min(0), exp0.min(0) + delta) - 1.0
+    hi = np.maximum(exp0.max(0), exp0.max(0) + delta) + 1.0
+    inwin = np.all((p1 >= lo) & (p1 <= hi), axis=1)
+    if inwin.sum() < 4:
+        return "motion"  # no null evidence either way; keep the claim
+    win1 = p1[inwin]
+    win_dt1 = None if dt1_full is None else np.asarray(dt1_full)[inwin]
+
+    # ONE-SIDED error (claim -> raw window): the window holds background the
+    # object never explains, so the reverse direction would penalize both
+    # hypotheses with irrelevant unexplained points.
+    def err_under(d):
+        shifted = _desmear(exp0, exp_dt0, d, period) + d
+        q1 = _desmear(win1, win_dt1, d, period)
+        return _trimmed_mean(nn_residual_distances(shifted, q1), trim)
+
+    err_d = err_under(delta)
+    err_0 = err_under(np.zeros(3, np.float32))
+    if err_d < ratio * err_0:
+        return "motion"
+    # The null wins only if it FITS in absolute terms — within the expanded
+    # set's own resampling noise (~its sampling spacing). Otherwise neither
+    # hypothesis explains the pair (constant-velocity smear model violated,
+    # heavy occlusion, ...): ambiguous, no claim either way.
+    if err_0 <= max(0.3, 0.75 * _cluster_spacing(exp0)):
+        return "static"
+    return "ambiguous"
+
+
 def _histogram_delta_candidates(
     pts0: np.ndarray,
     pool1: np.ndarray,
@@ -540,6 +656,13 @@ def recover_split_translations(
         tol = min(max(verify_tol, spacing_factor * _cluster_spacing(win)), 1.0)
         if err > tol:
             continue
+        # Sub-resolution snap (see match_cluster_translations): a verified
+        # delta below its own acceptance tolerance carries no measurable
+        # motion evidence — emit it as zero so sparse static structure
+        # cannot acquire spurious sub-tolerance priors. The claims keep the
+        # measured delta's residuals (the two differ by < tol everywhere).
+        if float(np.linalg.norm(delta)) < tol:
+            delta = np.zeros(3, np.float32)
         evaluated.append((delta.astype(np.float32), res, res_raw))
 
     # Delta SELECTION runs on the GATED residuals; point ASSIGNMENT on the
@@ -796,6 +919,17 @@ def match_cluster_translations(
                 )
                 tol = min(max(verify_tol, spacing_factor * spacing1[j]), 1.0)
                 if err <= tol:
+                    # SUB-RESOLUTION SNAP: a delta smaller than the pair's
+                    # own acceptance tolerance is below the measurement's
+                    # noise floor — indistinguishable from "did not move".
+                    # Sparse (0.4 m-spaced) STATIC objects re-sampled by
+                    # successive sweeps otherwise verify spurious ~0.6 m
+                    # deltas inside their ~0.7 m tolerance (measured:
+                    # test_matcher_stress stopped-object case). The match
+                    # itself stays (tracking + pc1 exclusivity); only the
+                    # motion claim zeroes.
+                    if float(np.linalg.norm(delta)) < tol:
+                        delta = np.zeros(3, np.float32)
                     candidates.append((err, i, j, delta))
         # GLOBAL min-cost assignment over the verified candidate graph.
         # Cost = err + a 0.05/m motion-magnitude penalty; two identical

@@ -79,11 +79,23 @@ class CheckpointManager:
         """Persist a checkpoint; with ``async_save`` the write runs in the
         background (orbax async machinery) and training continues — the
         previous in-flight write is drained first so at most one save is
-        outstanding. Sync mode blocks until durable."""
+        outstanding. Sync mode blocks until durable.
+
+        Returns ``{"drain_s", "dispatch_s"}``: the time spent draining the
+        PREVIOUS in-flight save and the time this save call held the
+        caller. With async saves, ``drain_s > 0`` at save N+1 is the direct
+        measurement that save N was still writing while the training steps
+        between the two proceeded (the compute/checkpoint overlap evidence
+        the metrics jsonl records per step)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         self.manager.wait_until_finished()  # drain any in-flight save
+        t1 = _time.perf_counter()
         self.manager.save(step, args=ocp.args.PyTreeSave(tree), metrics=metrics)
         if not self.async_save:
             self.manager.wait_until_finished()
+        return {"drain_s": t1 - t0, "dispatch_s": _time.perf_counter() - t1}
 
     def restore_latest(self, target=None):
         self.manager.wait_until_finished()

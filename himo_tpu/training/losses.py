@@ -42,6 +42,11 @@ class SSLLossWeights:
     # matched-cluster centroid delta — the only loss term whose gradient
     # reaches objects moving beyond every chamfer truncation radius.
     prior_flow_loss: float = 1.0
+    # Static-vs-dynamic gate head supervision (himo_tpu extension,
+    # models/feedforward.py gate_head): BCE between the decoder's gate
+    # logits and the SSL dynamic mask. Active only when the model emits
+    # gate logits.
+    gate_loss: float = 1.0
 
 
 def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -84,6 +89,22 @@ def prior_flow_loss(
     return _masked_mean(jnp.sum(dev * dev, axis=1), prior_valid)
 
 
+def gate_bce_loss(
+    gate_logit: jax.Array,  # (N,) decoder gate logits
+    dynamic: jax.Array,  # (N,) bool SSL dynamic mask (the positive class)
+    valid: jax.Array,
+) -> jax.Array:
+    """Per-point BCE between the gate head and the SSL dynamic evidence.
+
+    The logit form (``softplus(-x) + (1-y)*x``) keeps gradients finite at
+    saturation. Points the SSL labeler missed are not lost causes: the flow
+    losses differentiate THROUGH the sigmoid gate, so a chamfer/prior
+    gradient can hold a gate open against a noisy negative label."""
+    y = dynamic.astype(jnp.float32)
+    bce = jax.nn.softplus(-gate_logit) + (1.0 - y) * gate_logit
+    return _masked_mean(bce, valid)
+
+
 def _assemble(weights: SSLLossWeights, terms: Dict[str, jax.Array]):
     total = sum(getattr(weights, k) * v for k, v in terms.items())
     return {"total": total, **terms}
@@ -104,12 +125,14 @@ def seflowpp_loss(
     dynamic_max_dist: float | None = None,
     prior0: jax.Array | None = None,  # (N, 3) translation prior
     prior_valid0: jax.Array | None = None,  # (N,)
+    gate_logit0: jax.Array | None = None,  # (N,) gate-head logits
 ) -> Dict[str, jax.Array]:
     """All SSL terms + their weighted total.
 
     Fast-object extensions (both optional, both zero-cost in the NN pass):
     ``dynamic_max_dist`` widens the dynamic chamfer truncation, and
-    ``prior0``/``prior_valid0`` activate the cluster translation prior."""
+    ``prior0``/``prior_valid0`` activate the cluster translation prior.
+    ``gate_logit0`` activates the gate-head BCE term."""
     warped = pc0[:, :3] + flow
 
     # Both chamfer terms ride ONE fused NN pass (4 identical distance sweeps
@@ -131,6 +154,8 @@ def seflowpp_loss(
         terms["prior_flow_loss"] = prior_flow_loss(
             flow, prior0, prior_valid0 & valid0
         )
+    if gate_logit0 is not None:
+        terms["gate_loss"] = gate_bce_loss(gate_logit0, dynamic0, valid0)
     return _assemble(weights, terms)
 
 
@@ -151,6 +176,7 @@ def seflowpp_loss_sampled(
     dynamic_max_dist: float | None = None,
     prior0: jax.Array | None = None,
     prior_valid0: jax.Array | None = None,
+    gate_logit0: jax.Array | None = None,
 ) -> Dict[str, jax.Array]:
     """seflowpp_loss with SAMPLED Chamfer terms.
 
@@ -186,4 +212,6 @@ def seflowpp_loss_sampled(
         terms["prior_flow_loss"] = prior_flow_loss(
             flow, prior0, prior_valid0 & valid0
         )
+    if gate_logit0 is not None:
+        terms["gate_loss"] = gate_bce_loss(gate_logit0, dynamic0, valid0)
     return _assemble(weights, terms)

@@ -73,12 +73,23 @@ def dynamic_mask_from_nn(
     threshold: float = 0.18,
     adaptive: bool = True,
     coherent: bool = True,
+    local_floor: float = 0.0,
 ) -> np.ndarray:
     """Points of pc0_comp with no near neighbor in pc1.
 
     ``adaptive=True`` raises the threshold on sparse clouds (see
     :func:`adaptive_dynamic_threshold`); ``threshold`` is the dense-cloud
     floor either way.
+
+    ``local_floor`` raises each point's threshold to ``local_floor x`` its
+    OWN-cloud nearest-neighbor spacing. MEASURED-REJECTED as a default
+    (keep 0): per-point residual/spacing ratios of a re-sampled STATIC
+    sparse surface (p50 ~1.0) and a fast smeared mover's interior
+    (p50 ~1.7) overlap too much — any factor that silences resampling
+    noise also drops a third of true mover points
+    (tests/test_matcher_stress.py measurements). The spurious-static-prior
+    failure it targeted is handled at the CLUSTER level instead: the
+    zero-motion null test in models/icp_flow.motion_beats_null.
 
     ``coherent=True`` additionally requires a candidate's pc0 neighborhood
     to agree (majority of its 5 nearest points also over threshold).
@@ -91,8 +102,25 @@ def dynamic_mask_from_nn(
     d = nn_residual_distances(pc0_comp, pc1)
     if adaptive:
         threshold = adaptive_dynamic_threshold(d, base=threshold)
-    dyn = d > threshold
-    if coherent and dyn.any() and len(pc0_comp) > 6:
+    thr = np.full(len(d), threshold, np.float32)
+    own_idx = None
+    if (coherent or local_floor > 0) and len(pc0_comp) > 6:
+        from himo_tpu import native
+
+        if native.available():
+            own_d, own_idx = native.KDTree(pc0_comp[:, :3]).query(
+                pc0_comp[:, :3], k=6
+            )
+        else:
+            from scipy.spatial import cKDTree
+
+            own_d, own_idx = cKDTree(pc0_comp[:, :3]).query(
+                pc0_comp[:, :3], k=6
+            )
+        if local_floor > 0:
+            thr = np.maximum(thr, local_floor * np.asarray(own_d)[:, 1])
+    dyn = d > thr
+    if coherent and dyn.any() and own_idx is not None:
         # Coherence prune over the 5-NN graph. Columns 1..5 are the 5
         # nearest OTHER points (column 0 is self): a flag with <= 1
         # dynamic neighbor is isolated scatter. (A hole-FILL pass was
@@ -100,17 +128,7 @@ def dynamic_mask_from_nn(
         # objects and measured net-negative: it bled object priors onto
         # touching structures; the lower adaptive factor recovers that
         # recall instead.)
-        from himo_tpu import native
-
-        if native.available():
-            _, idx = native.KDTree(pc0_comp[:, :3]).query(
-                pc0_comp[:, :3], k=6
-            )
-        else:
-            from scipy.spatial import cKDTree
-
-            _, idx = cKDTree(pc0_comp[:, :3]).query(pc0_comp[:, :3], k=6)
-        votes = dyn[np.asarray(idx)[:, 1:]].sum(1)
+        votes = dyn[np.asarray(own_idx)[:, 1:]].sum(1)
         return dyn & (votes >= 2)
     return dyn
 
@@ -308,24 +326,99 @@ def translation_priors(
     prior = np.zeros((len(pc0_comp), 3), np.float32)
     prior_valid = np.zeros(len(pc0_comp), bool)
     assigned = []  # (centroid, delta) for the tracker update
+
+    from himo_tpu.models.icp_flow import motion_beats_null
+
+    def null_verdict(delta, subset_ix, exclude):
+        """Every emitted motion claim must beat the zero-motion null on its
+        full local evidence (see motion_beats_null: spurious deltas from
+        biased dynamic-mask shards of re-sampled sparse static structure
+        verify within tolerance but lose to the null). ``'static'`` demotes
+        the delta to 0 (a verified MATCH whose honest motion estimate is
+        'did not move' — the tracker and prior supervise static instead of
+        fabricated motion); ``'ambiguous'`` drops the claim entirely.
+
+        CONFIRMED-track veto: a large object displacing less than its own
+        length self-overlaps under the null (its faces slide along
+        themselves; the trim drops the falsifying edge strip — measured: a
+        6.5 m truck at 28 m/s demoted to static on the crossing stress
+        scene). Velocity continuity is the disambiguating evidence, so a
+        claim consistent with a CONFIRMED track skips the null. Fabricated
+        motion cannot ride this veto: the tracker is updated with the
+        POST-null deltas, so a demoted spurious match confirms a static
+        track, never a moving one."""
+        delta = np.asarray(delta, np.float32)
+        if float(np.linalg.norm(delta)) < 1e-6:
+            return "motion", delta
+        # The null test targets TOLERANCE-SCALE fabrications: a spurious
+        # delta fitted to a static surface's resample-noise shards can only
+        # reach ~the verification tolerance (measured 0.5-0.6 m at 0.7 m
+        # tol). Claims far beyond it carry structural evidence the
+        # two-sided verification already vetted — and running the null on
+        # them is actively unsafe: its evidence expansion can leak through
+        # dense background (static points that align perfectly under zero)
+        # and demote a whole scene's true fast movers (measured: every
+        # 25-34 m/s object of a bucket-complete scene zeroed).
+        from himo_tpu.models.icp_flow import _cluster_spacing
+
+        tol_claim = min(
+            max(0.45, 1.75 * _cluster_spacing(pc0_comp[subset_ix])), 1.0
+        )
+        if float(np.linalg.norm(delta)) > 2.0 * tol_claim:
+            return "motion", delta
+        if track_priors:
+            cent = pc0_comp[subset_ix, :3].mean(0)
+            for pos, td, conf in track_priors:
+                td = np.asarray(td)
+                # The track must itself be MOVING (> 1 m/frame): a confirmed
+                # static track agrees with the null and must not shelter a
+                # sub-tolerance claim from it (measured: a 0.59 m fabricated
+                # delta riding a confirmed zero track through |td-d|<=0.6).
+                if (
+                    conf
+                    and float(np.linalg.norm(td)) > 1.0
+                    and float(np.linalg.norm(np.asarray(pos) - cent)) <= 3.0
+                    and float(np.linalg.norm(td - delta)) <= 0.6
+                ):
+                    return "motion", delta
+        v = motion_beats_null(
+            pc0_comp[subset_ix], pc0_comp, xyz1, delta,
+            dt0=None if dt0 is None else np.asarray(dt0)[subset_ix],
+            dt0_full=dt0, dt1_full=dt1, period=period, exclude=exclude,
+        )
+        return v, (delta if v == "motion" else np.zeros(3, np.float32))
+
     for cid in range(1, int(labels0.max()) + 1):
         if cid - 1 >= max_clusters:
             continue
         m_ix = np.flatnonzero(labels0 == cid)
+        # Evidence expansion must not bridge into OTHER objects: bar other
+        # clusters' points (and, below, sibling split subsets).
+        excl_other = (labels0 > 0) & (labels0 != cid)
         if cid - 1 in splits:
             # Split-recovered cluster (merged objects / clusterless target):
             # each verified delta covers only its inlier subset.
-            for delta, local_mask in splits[cid - 1]:
+            for si, (delta, local_mask) in enumerate(splits[cid - 1]):
+                excl = excl_other.copy()
+                for sj, (_, other_mask) in enumerate(splits[cid - 1]):
+                    if sj != si:
+                        excl[m_ix[other_mask]] = True
+                verdict, delta = null_verdict(delta, m_ix[local_mask], excl)
+                if verdict == "ambiguous":
+                    continue
                 assigned.append((pc0_comp[m_ix[local_mask], :3].mean(0), delta))
                 if np.linalg.norm(delta) < min_norm:
                     continue
                 prior[m_ix[local_mask]] = delta
                 prior_valid[m_ix[local_mask]] = True
         elif matched[cid - 1]:
-            assigned.append((pc0_comp[m_ix, :3].mean(0), init_t[cid - 1]))
-            if np.linalg.norm(init_t[cid - 1]) < min_norm:
+            verdict, delta = null_verdict(init_t[cid - 1], m_ix, excl_other)
+            if verdict == "ambiguous":
                 continue
-            prior[m_ix] = init_t[cid - 1]
+            assigned.append((pc0_comp[m_ix, :3].mean(0), delta))
+            if np.linalg.norm(delta) < min_norm:
+                continue
+            prior[m_ix] = delta
             prior_valid[m_ix] = True
     if tracker is not None and pose1 is not None:
         tracker.update(assigned, pose1)

@@ -271,7 +271,13 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
         if getattr(model.config, "prior_feat", False) and "prior0" in b
         else None
     )
-    flow = model.apply(params, tuple(sweeps), tuple(valids), prior_in)
+    gate_logit = None
+    if getattr(model.config, "gate_head", False):
+        flow, gate_logit = model.apply(
+            params, tuple(sweeps), tuple(valids), prior_in, with_gate=True
+        )
+    else:
+        flow = model.apply(params, tuple(sweeps), tuple(valids), prior_in)
     dynamic1 = b.get("dynamic1", b["valid1"])
     common = dict(
         num_clusters=config.num_clusters,
@@ -280,6 +286,7 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
         dynamic_max_dist=config.dynamic_max_dist,
         prior0=b.get("prior0"),
         prior_valid0=b.get("prior_valid0"),
+        gate_logit0=gate_logit,
     )
     if "loss_idx0" in b:
         from himo_tpu.training.losses import seflowpp_loss_sampled
@@ -501,10 +508,16 @@ def train(
             )
             logger.log(val_metrics, step, prefix="val/")
             logger.print(val_metrics, step, prefix="val ")
-            ckpts.save(step, tree, metrics=dict(val_metrics))
-            ckpts_latest.save(step, tree)
+            timing = ckpts.save(step, tree, metrics=dict(val_metrics))
+            timing2 = ckpts_latest.save(step, tree)
+            timing["drain_s"] += timing2["drain_s"]
+            timing["dispatch_s"] += timing2["dispatch_s"]
         else:
-            ckpts.save(step, tree)
+            timing = ckpts.save(step, tree)
+        # Compute/checkpoint overlap evidence: drain_s > 0 at this save
+        # means the PREVIOUS async save was still writing while the train
+        # steps since then (each visible with its own jsonl timestamp) ran.
+        logger.log(timing, step, prefix="ckpt/")
 
     for epoch in range(start_epoch, config.epochs):
         for batch in batch_iterator(

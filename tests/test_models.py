@@ -100,6 +100,54 @@ class TestFeedForward:
         assert flow.shape == (512, 3)
         assert np.all(np.isfinite(np.asarray(flow)))
 
+    def test_gate_head_gates_flow(self, rng):
+        """seflowpp's gate head: forcing the gate logit saturated-closed via
+        the decoder's output bias zeroes the flow; saturated-open restores
+        it — proving flow = sigmoid(gate) * raw end to end (incl. the
+        sorted-mode unsort path carrying the logit column)."""
+        from himo_tpu.models.feedforward import init_params, make_model
+        from himo_tpu.ops.voxelize import PillarConfig
+
+        small_pillar = PillarConfig(
+            x_range=(-12.8, 12.8), y_range=(-12.8, 12.8), voxel_size=(0.4, 0.4)
+        )
+        model, config = make_model("seflowpp", pillar=small_pillar, depths=(16, 32))
+        assert config.gate_head
+        params = init_params(model, jax.random.PRNGKey(0), num_points=512)
+        sweeps = tuple(
+            jnp.asarray(rng.uniform(-10, 10, size=(512, 3)), jnp.float32)
+            for _ in range(config.num_frames)
+        )
+        valids = tuple(jnp.ones((512,), bool) for _ in range(config.num_frames))
+        flow, logits = model.apply(params, sweeps, valids, with_gate=True)
+        assert flow.shape == (512, 3) and logits.shape == (512,)
+
+        def with_gate_bias(value):
+            import flax
+
+            p = flax.core.unfreeze(params)
+
+            def visit(tree):
+                for k, v in tree.items():
+                    if isinstance(v, dict):
+                        if (
+                            "bias" in v
+                            and getattr(v["bias"], "shape", None) == (4,)
+                            and "kernel" in v
+                        ):
+                            v["bias"] = v["bias"].at[3].set(value)
+                        else:
+                            visit(v)
+
+            visit(p)
+            return flax.core.freeze(p)
+
+        closed = np.asarray(model.apply(with_gate_bias(-40.0), sweeps, valids))
+        opened = np.asarray(model.apply(with_gate_bias(40.0), sweeps, valids))
+        np.testing.assert_allclose(closed, 0.0, atol=1e-6)
+        assert np.abs(opened).max() > np.abs(closed).max()
+        assert np.all(np.isfinite(opened))
+
     def test_invalid_points_get_zero_flow(self, rng):
         from himo_tpu.models.feedforward import init_params, make_model
         from himo_tpu.ops.voxelize import PillarConfig

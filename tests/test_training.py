@@ -59,6 +59,41 @@ class TestLoss:
         g = jax.grad(total)(jnp.zeros_like(pc0))
         assert np.all(np.isfinite(np.asarray(g)))
 
+    def test_gate_bce_matches_labels(self, rng):
+        from himo_tpu.training.losses import gate_bce_loss
+
+        n = 128
+        dynamic = jnp.asarray(np.arange(n) < n // 2)
+        valid = jnp.ones((n,), bool)
+        # Logits agreeing with the labels at high confidence -> ~0 loss;
+        # disagreeing -> ~|logit| per point.
+        agree = jnp.where(dynamic, 20.0, -20.0)
+        assert float(gate_bce_loss(agree, dynamic, valid)) < 1e-6
+        disagree = jnp.where(dynamic, -20.0, 20.0)
+        assert float(gate_bce_loss(disagree, dynamic, valid)) == pytest.approx(
+            20.0, rel=1e-3
+        )
+        # Invalid rows are excluded.
+        half = jnp.asarray(np.arange(n) < n // 2)
+        assert float(gate_bce_loss(disagree, dynamic, valid & half)) == pytest.approx(
+            20.0, rel=1e-3
+        )
+
+    def test_gate_term_enters_total(self, rng):
+        pc0, pc1, valid, dynamic, cluster = self._inputs(rng)
+        flow = jnp.zeros_like(pc0)
+        logits = jnp.zeros((pc0.shape[0],))
+        base = seflowpp_loss(flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster)
+        gated = seflowpp_loss(
+            flow, pc0, pc1, valid, valid, dynamic, dynamic, cluster,
+            gate_logit0=logits,
+        )
+        assert "gate_loss" not in base
+        assert float(gated["gate_loss"]) == pytest.approx(np.log(2.0), rel=1e-4)
+        assert float(gated["total"]) == pytest.approx(
+            float(base["total"]) + np.log(2.0), rel=1e-4
+        )
+
 
 class TestSSLLabels:
     def test_dynamic_and_cluster_labels(self, rng):
