@@ -87,7 +87,14 @@ def icp_register_clusters(
     ``init_t`` seeds each cluster's translation (from centroid matching of
     dynamic clusters across the sweeps) so fast clusters start inside the
     correspondence gate; the gate itself anneals ``coarse_corr_dist`` ->
-    ``max_corr_dist`` geometrically over the iterations."""
+    ``max_corr_dist`` geometrically over the iterations.
+
+    Also returns each cluster's rigid ``(rot, t)`` so callers can apply the
+    transform to points that did not fit the registration slots — a close
+    full-density truck exceeds any fixed ``cluster_capacity``, and the
+    overflow points deserve the cluster's rigid flow, not zero (verdict-r3
+    density item; the registration itself subsamples, rigidity covers the
+    rest)."""
     if init_t is None:
         init_t = jnp.zeros((clusters.shape[0], 3), jnp.float32)
     fine = config.max_corr_dist
@@ -108,7 +115,7 @@ def icp_register_clusters(
 
         (rot, t), _ = jax.lax.scan(body, (jnp.eye(3), t0), caps2)
         flow = pts @ rot.T + t - pts
-        return jnp.where(mask[:, None], flow, 0.0)
+        return jnp.where(mask[:, None], flow, 0.0), rot, t
 
     return jax.vmap(one)(clusters, cluster_valid, init_t)
 
@@ -1127,19 +1134,32 @@ def icpflow_estimate(
     clusters = np.zeros((c, k, 3), np.float32)
     cluster_valid = np.zeros((c, k), bool)
     point_slots = {}
+    overflow = {}  # cid -> ALL point indices (rigid-transform recipients)
     for cid in range(1, n_clusters + 1):
-        idx = np.where(labels == cid)[0][:k]
+        idx_full = np.where(labels == cid)[0]
+        if len(idx_full) > k:
+            # Strided subsample into the registration slots (first-k is
+            # scan-order biased toward one side of the object); the
+            # cluster's rigid transform covers every point afterwards.
+            idx = idx_full[np.linspace(0, len(idx_full) - 1, k).astype(int)]
+            overflow[cid] = idx_full
+        else:
+            idx = idx_full
         clusters[cid - 1, : len(idx)] = pc0[idx]
         cluster_valid[cid - 1, : len(idx)] = True
         point_slots[cid] = idx
 
-    cluster_flow = np.asarray(
-        icp_register_clusters(
+    cluster_flow, rots, ts = (
+        np.asarray(a)
+        for a in icp_register_clusters(
             clusters, cluster_valid, pc1, valid1, config, jnp.asarray(init_t)
         )
     )
     for cid, idx in point_slots.items():
         flow[idx] = cluster_flow[cid - 1, : len(idx)]
+    for cid, idx_full in overflow.items():
+        pts = pc0[idx_full]
+        flow[idx_full] = pts @ rots[cid - 1].T + ts[cid - 1] - pts
     return flow, 0.0
 
 

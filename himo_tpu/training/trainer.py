@@ -273,8 +273,12 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
     )
     gate_logit = None
     if getattr(model.config, "gate_head", False):
+        # soft_gate: training differentiates THROUGH the sigmoid gate (flow
+        # losses can hold a gate open against a noisy BCE label); inference
+        # uses the hard >0.5 cut (models/feedforward.py).
         flow, gate_logit = model.apply(
-            params, tuple(sweeps), tuple(valids), prior_in, with_gate=True
+            params, tuple(sweeps), tuple(valids), prior_in,
+            with_gate=True, soft_gate=True,
         )
     else:
         flow = model.apply(params, tuple(sweeps), tuple(valids), prior_in)
