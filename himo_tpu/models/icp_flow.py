@@ -220,14 +220,32 @@ def _pair_alignment_error(
     dt1=None,
     period: float = 0.1,
     trim: float = 1.0,
+    bwd_keep=None,
 ) -> float:
-    """Two-sided mean NN residual of the aligned (de-smeared) cluster pair."""
+    """Two-sided mean NN residual of the aligned (de-smeared) cluster pair.
+
+    ``bwd_keep`` (bool over pts1) restricts the pts1 -> pts0 direction to
+    the window points that constitute MOTION evidence: callers exclude
+    points already zero-explained by the claim's raw neighborhood (a slow
+    merged sibling's self-overlap, the unflagged interior). Without it a
+    partial claim verified against a complete window fails on residuals it
+    was never supposed to explain (measured: a 34 m/s member of a merged
+    pc1 cluster at err 0.528 vs tol 0.517 purely on its slow sibling's bwd
+    residuals). A blanket coverage-ratio bwd trim was tried instead and
+    measured WORSE: it forgave cross-object alias claims wholesale (every
+    junk candidate verified at err <= 0.37, and reassignment then handed a
+    third of the member's points to a 2.9 m-off alias). Keeping only the
+    must-move points preserves the discrimination: a wrong-object match
+    still faces the wrong object's own displaced body."""
     from himo_tpu.training.ssl_labels import nn_residual_distances
 
     shifted = _desmear(pts0, dt0, delta, period) + delta
     q1 = _desmear(pts1, dt1, delta, period)
     fwd = nn_residual_distances(shifted, q1)
-    bwd = nn_residual_distances(q1, shifted)
+    q1b = q1 if bwd_keep is None else q1[np.asarray(bwd_keep, bool)]
+    if len(q1b) == 0:
+        return float(_trimmed_mean(fwd, trim))
+    bwd = nn_residual_distances(q1b, shifted)
     return float(max(_trimmed_mean(fwd, trim), _trimmed_mean(bwd, trim)))
 
 
@@ -523,6 +541,21 @@ def _cluster_spacing(pts: np.ndarray) -> float:
     return float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
 
 
+def _connected_body(pc0: np.ndarray, labels0: np.ndarray, cid: int):
+    """Cluster ``cid``'s points plus its hop-connected unlabeled
+    neighborhood (training/ssl_labels.complete_cluster_bodies on a
+    single-cluster view): the zero-explanation reference for
+    :func:`recover_split_translations` — the object's own body including
+    the under-threshold interior, but not background or other clusters."""
+    from himo_tpu.training.ssl_labels import complete_cluster_bodies
+
+    labels0 = np.asarray(labels0)
+    one = np.where(labels0 == cid, 1, 0).astype(np.uint16)
+    eligible = labels0 == 0
+    completed = complete_cluster_bodies(pc0, one, eligible)
+    return pc0[completed > 0]
+
+
 def recover_split_translations(
     pts0: np.ndarray,
     pool1: np.ndarray,
@@ -537,9 +570,25 @@ def recover_split_translations(
     extra_candidates=(),
     trim: float = 1.0,
     track_deltas=(),
+    pool_labels=None,
+    cand_mask=None,
+    zero_ref=None,
+    debug: bool = False,
 ) -> list:
     """Translation recovery for a pc0 cluster with no 1-1 pc1 cluster match,
     directly against nearby RAW dynamic pc1 points.
+
+    ``pool_labels`` (optional int labels over ``pool1``, 0 = unclustered)
+    restricts each candidate's VERIFICATION window to the pc1 cluster(s)
+    its own inliers matched into, plus unclustered pool points. Without it
+    a completed pc1 pool (see training/ssl_labels.complete_cluster_bodies)
+    vetoes true claims: a merged pc0 cluster's member claim has a sibling
+    object's completed interior inside its bbox window, and the two-sided
+    bwd residual counts that foreign body as unexplained (measured at 65.4k
+    pts/frame: a 34 m/s member of a 2-object cluster lost EVERY candidate
+    at verification; window-restricting by matched label recovers it
+    without weakening the same-model discrimination the two-sided test
+    exists for — a wrong-object claim still faces its full wrong object).
 
     Two failure modes of cluster-level matching land here: the target's pc1
     points never formed their own DBSCAN cluster (sparse returns / merged
@@ -568,14 +617,55 @@ def recover_split_translations(
     if len(pts0) < min_points or len(pool1) == 0:
         return []
     dt0 = None if dt0 is None else np.asarray(dt0)
-    cands = (
-        [np.asarray(td) for td, _ in track_deltas]
-        + list(extra_candidates)
-        + _histogram_delta_candidates(
-            pts0, pool1, match_gate, top_k=max_candidates,
-            dt0=dt0, pool_dt1=pool_dt1, period=period,
+    # Candidate VOTING runs on TWO views of the pool and unions the
+    # results, because each view misses a measured true delta the other
+    # finds (verification arbitrates; extra candidates only cost
+    # evaluation time):
+    # - movement-evidence-only votes (``cand_mask`` = the original dynamic
+    #   flags): a completed pool's interior points flood the histogram
+    #   with blend/slow bins and a merged cluster's fast member never
+    #   reaches the top-k (measured: four blend candidates, true delta
+    #   absent);
+    # - full completed-pool votes: a smeared object whose dynamic strip is
+    #   thin votes its true bin only through interior same-surface pairs
+    #   (measured: dynamic-only votes for a 25 m/s object were ALL from
+    #   the 1.66-2.14x smear-alias family).
+    vote_sels = [np.ones(len(pool1), bool)]
+    if cand_mask is not None and not np.asarray(cand_mask, bool).all():
+        vote_sels.append(np.asarray(cand_mask, bool))
+    cands = [np.asarray(td) for td, _ in track_deltas] + list(extra_candidates)
+    for vote_sel in vote_sels:
+        vote_dt1 = None if pool_dt1 is None else np.asarray(pool_dt1)[vote_sel]
+        cands += _histogram_delta_candidates(
+            pts0, pool1[vote_sel], match_gate, top_k=max_candidates,
+            dt0=dt0, pool_dt1=vote_dt1, period=period,
         )
-    )
+        if pool_labels is not None:
+            # Per-pc1-cluster candidates: a small member can drown under a
+            # big neighbor in the GLOBAL top-k; one top-1 histogram per
+            # labeled pool cluster guarantees every nearby object
+            # contributes a candidate. Junk dies in verification as usual.
+            pl_ = np.asarray(pool_labels)
+            for cid in np.unique(pl_[pl_ > 0]):
+                sel = (pl_ == cid) & vote_sel
+                if sel.sum() < min_points:
+                    continue
+                cands += _histogram_delta_candidates(
+                    pts0, pool1[sel], match_gate, top_k=1,
+                    dt0=dt0,
+                    pool_dt1=(
+                        None if pool_dt1 is None
+                        else np.asarray(pool_dt1)[sel]
+                    ),
+                    period=period,
+                )
+    # Dedup near-identical candidates (each costs refine + verify).
+    kept = []
+    for c in cands:
+        c = np.asarray(c, np.float32)
+        if not any(np.linalg.norm(c - k) <= 0.3 for k in kept):
+            kept.append(c)
+    cands = kept
 
     # ONE claim radius for every candidate, from the RAW pool's spacing.
     # Candidate-dependent radii are a perverse incentive: de-smearing with
@@ -589,6 +679,9 @@ def recover_split_translations(
     # pairing verifies (measured: junk false-dynamic clusters poisoning
     # static points with >=1 m priors on 2048-point clouds).
     r_in = min(max(verify_tol, 1.5 * _cluster_spacing(pool1)), 1.0)
+    tol_shared = min(
+        max(verify_tol, spacing_factor * _cluster_spacing(pool1)), 1.0
+    )
 
     def residuals_of(delta):
         """Per-point NN residual of the de-smeared aligned cluster into the
@@ -617,20 +710,40 @@ def recover_split_translations(
         gated = np.where(sens >= 0.35, dist, np.inf).astype(np.float32)
         return gated, np.asarray(dist, np.float32)
 
-    evaluated = []  # (delta, gated residuals, raw residuals)
-    for cand in cands:
-        # Claim the RAW candidate's inlier subset before ANY refinement:
-        # refining on the full (possibly merged multi-object) cluster first
-        # drifts every candidate toward a blend of the members' motions —
-        # the trimmed regression keeps pairs from both objects — and the
-        # blend then claims a mixed subset. Histogram candidates are
-        # bin-accurate (+-0.25 m), inside the claim radius, so the raw
-        # subset is already object-pure; two refine/re-inlier rounds then
-        # converge on that object alone.
+    # Pool points zero-explained by the RAW local pc0 neighborhood
+    # (``zero_ref``; falls back to the cluster itself): a slow merged
+    # sibling's self-overlap, the under-threshold interior, adjacent
+    # static structure. These are not MOTION evidence — no claim has to
+    # explain them (see _pair_alignment_error's bwd_keep rationale), and
+    # their complement is the must-move mass the big-delta physics check
+    # below weighs. The FULL neighborhood matters: against the cluster
+    # alone, the parts of a slow object the dynamic mask missed count as
+    # must-move and shelter fabricated large deltas (measured on the
+    # sparse slow-mover stress scene).
+    zero_expl_pool = nn_residual_distances(
+        pool1, pts0 if zero_ref is None else zero_ref
+    ) <= r_in
+
+    def evaluate(cand, bwd_excl_pool):
+        """Refine + verify one candidate. Returns (delta, res, res_raw) on
+        acceptance, or None with a 'retryable' flag (failed only on bwd
+        residuals another claim might explain).
+
+        Claims the RAW candidate's inlier subset before ANY refinement:
+        refining on the full (possibly merged multi-object) cluster first
+        drifts every candidate toward a blend of the members' motions —
+        the trimmed regression keeps pairs from both objects — and the
+        blend then claims a mixed subset. Histogram candidates are
+        bin-accurate (+-0.25 m), inside the claim radius, so the raw
+        subset is already object-pure; two refine/re-inlier rounds then
+        converge on that object alone."""
         res, res_raw = residuals_of(np.asarray(cand, np.float32))
         inl = res_raw <= r_in
         if inl.sum() < min_points:
-            continue
+            if debug:
+                print(f"  [recover] cand {np.round(cand, 2)}: raw inliers "
+                      f"{int(inl.sum())} < {min_points}")
+            return None, False
         delta = np.asarray(cand, np.float32)
         for _ in range(2):
             ipts = pts0[inl]
@@ -643,7 +756,10 @@ def recover_split_translations(
             if inl.sum() < min_points:
                 break
         if inl.sum() < min_points:
-            continue
+            if debug:
+                print(f"  [recover] cand {np.round(cand, 2)} -> "
+                      f"{np.round(delta, 2)}: refined inliers died")
+            return None, False
         # Verify two-sided against the pool points inside the aligned
         # subset's bbox — a merged neighbor object outside the box cannot
         # inflate the residual.
@@ -653,24 +769,105 @@ def recover_split_translations(
         q1 = _desmear(pool1, pool_dt1, delta, period)
         lo, hi = aligned.min(0) - 0.8, aligned.max(0) + 0.8
         inbox = np.all((q1 >= lo) & (q1 <= hi), axis=1)
+        if pool_labels is not None and inbox.any():
+            # Window-restrict to the cluster(s) this claim's inliers hit
+            # (>= 5% of inliers each — one stray pair must not admit a
+            # neighbor's whole body), plus unclustered points.
+            _, nn_ix = _nn_query_fn(q1)(aligned)
+            hit = np.asarray(pool_labels)[nn_ix]
+            ids, cnt = np.unique(hit[hit > 0], return_counts=True)
+            keep_ids = ids[cnt >= max(3, 0.05 * len(aligned))]
+            pl_ = np.asarray(pool_labels)
+            inbox &= (pl_ == 0) | np.isin(pl_, keep_ids)
         win = pool1[inbox]
         win_dt = None if pool_dt1 is None else np.asarray(pool_dt1)[inbox]
         if len(win) < 4:
-            continue
+            if debug:
+                print(f"  [recover] cand {np.round(cand, 2)} -> "
+                      f"{np.round(delta, 2)}: window < 4")
+            return None, False
+        bwd_keep = ~(zero_expl_pool | bwd_excl_pool)[inbox]
+        # Physics check: a window with (almost) no must-move evidence means
+        # nothing here actually moved — a delta far beyond the claim radius
+        # is then self-contradictory (if the object had moved that far, a
+        # strip of pc1 HAS to be far from every pc0 point). Measured: a
+        # 1.5 m/s slow mover on a sparse cloud acquired a fabricated 1.26 m
+        # prior whose sparse-resample alignment scored under the
+        # spacing-scaled tolerance and whose magnitude sat above the null
+        # test's 2x-tolerance entry gate.
+        mm_frac = (~zero_expl_pool[inbox]).sum() / max(int(inbox.sum()), 1)
+        if float(np.linalg.norm(delta)) > 2.0 * r_in and mm_frac < 0.1:
+            if debug:
+                print(f"  [recover] cand {np.round(cand, 2)} -> "
+                      f"{np.round(delta, 2)}: big delta, must-move frac "
+                      f"{mm_frac:.2f} < 0.1 — self-contradictory")
+            return None, False
+        # With little must-move evidence (a slow/static neighborhood), face
+        # the claim with the FULL window instead of an emptied bwd.
+        if bwd_keep.sum() < max(4, 0.1 * int(inbox.sum())):
+            bwd_keep = np.ones(int(inbox.sum()), bool)
         err = _pair_alignment_error(
-            ipts, win, delta, dt0=idt, dt1=win_dt, period=period, trim=trim
+            ipts, win, delta, dt0=idt, dt1=win_dt, period=period, trim=trim,
+            bwd_keep=bwd_keep,
         )
-        tol = min(max(verify_tol, spacing_factor * _cluster_spacing(win)), 1.0)
+        # ONE tolerance for every candidate, from the shared pool's spacing
+        # (like r_in). Per-WINDOW spacing is a perverse incentive mirroring
+        # the claim-radius note above: a blend delta's window straddles two
+        # objects' strips (sparser composition -> larger spacing -> looser
+        # tolerance) while the true deltas' compact windows judge them
+        # strictly (measured: truths at err 0.72 vs their tol 0.71 FAILING
+        # while the blend passed 0.715 vs ITS tol 0.735, so the blend
+        # outranked both siblings' round-2 recoveries).
+        tol = tol_shared
+        if debug:
+            print(f"  [recover] cand {np.round(cand, 2)} -> "
+                  f"{np.round(delta, 2)}: inl {int(inl.sum())} win "
+                  f"{int(inbox.sum())} err {err:.3f} tol {tol:.3f} "
+                  f"{'PASS' if err <= tol else 'FAIL'}")
         if err > tol:
-            continue
+            return None, True
         # Sub-resolution snap (see match_cluster_translations): a verified
         # delta below its own acceptance tolerance carries no measurable
         # motion evidence — emit it as zero so sparse static structure
         # cannot acquire spurious sub-tolerance priors. The claims keep the
         # measured delta's residuals (the two differ by < tol everywhere).
+        snapped = delta
         if float(np.linalg.norm(delta)) < tol:
-            delta = np.zeros(3, np.float32)
-        evaluated.append((delta.astype(np.float32), res, res_raw))
+            snapped = np.zeros(3, np.float32)
+        # Pool points this claim covers (its own de-smeared frame), for the
+        # second round's bwd exclusion.
+        dcov = nn_residual_distances(q1, aligned)
+        covered = dcov <= max(0.6, 2.0 * _cluster_spacing(aligned))
+        return (snapped.astype(np.float32), res, res_raw, covered), False
+
+    evaluated = []  # (delta, gated residuals, raw residuals, round2 flag)
+    retry = []
+    covered_union = np.zeros(len(pool1), bool)
+    no_excl = np.zeros(len(pool1), bool)
+    for cand in cands:
+        hit, retryable = evaluate(cand, no_excl)
+        if hit is not None:
+            evaluated.append(hit[:3] + (False,))
+            covered_union |= hit[3]
+        elif retryable:
+            retry.append(cand)
+    # SECOND round for bwd-failures: a merged sibling's claim fails round 1
+    # on the FAST member's must-move strip (mutual veto); once the fast
+    # member's claim is accepted, its covered pool points stop counting
+    # against the sibling. Round-2 deltas enter SELECTION at the lowest
+    # tier: with the accepted claims' cover excluded from bwd, ANY delta
+    # with decent fwd verifies here (measured: a 2.14x smear alias laundered
+    # through round 2 then stole a third of the object in reassignment) —
+    # they may only explain points no round-1 delta can.
+    if retry and covered_union.any():
+        if debug:
+            print(f"  [recover] round 2: {len(retry)} bwd-failures vs "
+                  f"{int(covered_union.sum())} covered pool points")
+        for cand in retry:
+            hit, _ = evaluate(cand, covered_union)
+            if hit is not None:
+                evaluated.append(hit[:3] + (True,))
+                covered_union |= hit[3]
 
     # Delta SELECTION runs on the GATED residuals; point ASSIGNMENT on the
     # RAW ones. Selection by gated gain kills ghost deltas (their only
@@ -698,7 +895,14 @@ def recover_split_translations(
             for td, conf in track_deltas
         )
 
-    out = []  # (delta, claim, gated res, raw res, tier_confirmed)
+    def _tier(delta, round2):
+        # 0 = confirmed-track-consistent, 1 = round-1 geometric,
+        # 2 = round-2 (cover-relaxed verification; lowest precedence).
+        if _track_consistent(delta):
+            return 0
+        return 2 if round2 else 1
+
+    out = []  # (delta, claim, gated res, raw res, tier)
     unassigned = np.ones(len(pts0), bool)
     # Best raw residual under any ACCEPTED delta so far: each additional
     # delta must have UNIQUE SUPPORT — >= min_points whose accepted
@@ -713,9 +917,9 @@ def recover_split_translations(
     # merged cluster has hundreds of unexplained points, a smear alias has
     # none.
     prev_best = np.full(len(pts0), np.inf, np.float32)
-    for tier_confirmed in (True, False):
+    for tier_now in (0, 1, 2):
         pool = [
-            e for e in evaluated if _track_consistent(e[0]) == tier_confirmed
+            e[:3] for e in evaluated if _tier(e[0], e[3]) == tier_now
         ]
         while pool:
             best_gain, best_ix = -np.inf, -1
@@ -729,10 +933,13 @@ def recover_split_translations(
                 if gain > best_gain:
                     best_gain, best_ix = gain, ix
             if best_ix < 0:
+                if debug and pool:
+                    print(f"  [recover] selection: {len(pool)} evaluated "
+                          "deltas left without unique support")
                 break
             delta, res, res_raw = pool.pop(best_ix)
             claim = (res_raw <= r_in) & unassigned
-            out.append((delta, claim, res, res_raw, tier_confirmed))
+            out.append((delta, claim, res, res_raw, tier_now))
             unassigned &= ~claim
             prev_best = np.minimum(prev_best, res_raw)
     if len(out) > 1:
@@ -759,15 +966,26 @@ def recover_split_translations(
         all_gated = np.stack([r for _, _, r, _, _ in out])
         claimed = np.stack([c for _, c, _, _, _ in out]).any(0)
         claimable = all_raw <= r_in
-        conf_rows = np.asarray([k for k, e in enumerate(out) if e[4]])
-        if len(conf_rows):
-            conf_any = claimable[conf_rows].any(0)
-            tier_mask = np.where(
-                conf_any[None, :],
-                np.isin(np.arange(len(out)), conf_rows)[:, None],
-                True,
-            )
-            claimable = claimable & tier_mask
+        # Tier precedence generalizes the confirmed-first rule: a point any
+        # lower-numbered tier can claim is contested only within that tier
+        # (confirmed > round-1 geometric > round-2 cover-relaxed) — EXCEPT
+        # on a decisive residual win (<= 0.5x the best higher-tier row):
+        # near-ties are exactly the alias slices tiering exists to settle
+        # (both residuals ~noise), but a merged sibling's tier-1 delta
+        # holds a fast member's points only as MARGINAL alias pairs
+        # (0.2-0.45 m) while the member's round-2 truth fits them at
+        # sampling noise (measured: 231 of 659 points stolen at f1 of the
+        # 65k suite without the decisive-win exception).
+        tiers = np.asarray([e[4] for e in out])  # (n_del,)
+        tier_col = np.where(claimable, tiers[:, None], np.iinfo(np.int64).max)
+        min_tier = tier_col.min(0)  # (n_pts,)
+        top_raw = np.where(
+            claimable & (tiers[:, None] == min_tier[None, :]), all_raw, np.inf
+        ).min(0)
+        claimable = claimable & (
+            (tiers[:, None] == min_tier[None, :])
+            | (all_raw <= 0.5 * top_raw[None, :])
+        )
         raw_masked = np.where(claimable, all_raw, np.inf)
         order = np.argsort(raw_masked, axis=0)
         best = order[0]
@@ -802,10 +1020,10 @@ def recover_split_translations(
             rest = amb_ix[~has_body]
             owners[rest] = best[rest]
         reassigned = []
-        for k, (delta, _, res, res_raw, conf) in enumerate(out):
+        for k, (delta, _, res, res_raw, tier_k) in enumerate(out):
             mask = owners == k
             if mask.sum() >= min_points:
-                reassigned.append((delta, mask, res, res_raw, conf))
+                reassigned.append((delta, mask, res, res_raw, tier_k))
         if reassigned:
             out = reassigned
     final = [(delta, claim) for delta, claim, _, _, _ in out]
@@ -825,6 +1043,7 @@ def match_cluster_translations(
     dt1=None,
     period: float = 0.1,
     recover_dynamic1=None,
+    recover_cand1=None,
     return_splits: bool = False,
     trim: float = 1.0,
     track_priors=None,
@@ -987,13 +1206,14 @@ def match_cluster_translations(
         # accepted match leave the recovery pool, so a cluster whose true
         # target vanished (occlusion / field-of-view exit) cannot latch onto
         # a NEIGHBOR object's points — measured err 3-5 m matches before
-        # this gate existed. Seed the used-mask with the 1-1 matches'
-        # target clusters.
+        # this gate existed. Seeded below with the 1-1 matches' COVER (the
+        # aligned source within a cover radius), NOT whole target clusters:
+        # a merged pc1 cluster is only partially explained by its 1-1 match,
+        # and removing all of it locks the unexplained member's points away
+        # from every other cluster's recovery (measured at 18.4k: a merged
+        # pc0 pair's 34 m/s member uncovered because its target points sat
+        # in a pc1 cluster another object's 1-1 match had "used").
         pool_used = np.zeros(len(dyn_ix), bool)
-        if n1 > 0 and len(dyn_ix) > 0 and used_pairs:
-            pool_used |= np.isin(
-                labels1[dyn_ix], [j + 1 for j in used_pairs.values()]
-            )
 
         def _mark_covered(aligned_pts, q_delta):
             """Pool points within cover radius of the aligned cluster."""
@@ -1005,6 +1225,13 @@ def match_cluster_translations(
             d = nn_residual_distances(q1_all, aligned_pts)
             r_cover = max(0.6, 2.0 * _cluster_spacing(aligned_pts))
             pool_used[d <= r_cover] = True
+
+        for i, j in used_pairs.items():
+            src = pc0[labels0 == i + 1]
+            sdt = None if dt0 is None else np.asarray(dt0)[labels0 == i + 1]
+            _mark_covered(
+                _desmear(src, sdt, init_t[i], period) + init_t[i], init_t[i]
+            )
 
         # EVERY cluster goes through per-point inlier gating, matched ones
         # included: a density-adaptively merged two-object cluster can pass
@@ -1040,6 +1267,22 @@ def match_cluster_translations(
                 extra_candidates=[init_t[i]] if matched[i] else [],
                 trim=trim,
                 track_deltas=tracks_near(i),
+                pool_labels=labels1[dyn_ix][near],
+                cand_mask=(
+                    None if recover_cand1 is None
+                    else np.asarray(recover_cand1, bool)[dyn_ix][near]
+                ),
+                # Zero-explanation reference: the cluster's hop-CONNECTED
+                # completed body (its under-threshold interior included),
+                # nothing more. Both wider choices were measured worse: the
+                # full local pc0 blankets the scene at production density
+                # (~0.4 m background spacing < the 0.45 m radius) and
+                # zero-explains every fast strip, and even background-only
+                # inclusion kills true 34 m/s claims whose landing zone has
+                # scatter; while the bare cluster misses a slow object's
+                # unflagged interior and shelters fabricated large deltas
+                # (sparse slow-mover stress scene).
+                zero_ref=_connected_body(pc0, labels0, i + 1),
             )
             if found:
                 init_t[i] = found[0][0]  # largest split seeds the cluster

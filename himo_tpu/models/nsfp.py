@@ -178,6 +178,9 @@ def cluster_prior_flow(
         p0, labels0, p1, dyn1, eps=eps, min_samples=min_samples,
         match_gate=match_gate, min_norm=min_norm,
         dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
+        # The runner's valid masks exclude ground — exactly the completion
+        # eligibility complete_cluster_bodies needs (density invariance).
+        eligible0=v0, eligible1=v1,
     )
     return jnp.asarray(prior)
 

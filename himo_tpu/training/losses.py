@@ -142,9 +142,21 @@ def seflowpp_loss(
         max_dist=max_dist, dynamic_max_dist=dynamic_max_dist,
     )
 
+    # Object-positive evidence for the static/gate terms: the raw dynamic
+    # mask is density-BLIND to a mover's self-overlap interior (NN residuals
+    # shrink as sampling densifies; 48-78% coverage measured at 65.4k
+    # pts/frame), so supervising "static" with its complement suppresses
+    # and gates off true object flow (measured on the 120-epoch headline:
+    # gated seflowpp AccS 0.141 -> 0.012, EPE_FD 0.369 -> 0.674 while
+    # EPE_BS improved — the gate closed on exactly the interior points).
+    # The paint-expanded translation priors (ssl_labels) cover the
+    # interior, so their mask completes the positive class.
+    obj_pos = dynamic0
+    if prior_valid0 is not None:
+        obj_pos = obj_pos | prior_valid0
     terms = {
         "chamfer_dis": chamfer,
-        "static_flow_loss": static_flow_loss(flow, valid0 & (~dynamic0)),
+        "static_flow_loss": static_flow_loss(flow, valid0 & (~obj_pos)),
         "dynamic_chamfer_dis": dyn_chamfer,
         "cluster_based_pc0pc1": cluster_rigidity_loss(
             flow, cluster0, valid0, num_clusters
@@ -155,7 +167,7 @@ def seflowpp_loss(
             flow, prior0, prior_valid0 & valid0
         )
     if gate_logit0 is not None:
-        terms["gate_loss"] = gate_bce_loss(gate_logit0, dynamic0, valid0)
+        terms["gate_loss"] = gate_bce_loss(gate_logit0, obj_pos, valid0)
     return _assemble(weights, terms)
 
 
@@ -200,9 +212,21 @@ def seflowpp_loss_sampled(
         w_l, p1_l, v0_l, v1_l, d0_l, d1_l,
         max_dist=max_dist, dynamic_max_dist=dynamic_max_dist,
     )
+    # Object-positive evidence for the static/gate terms: the raw dynamic
+    # mask is density-BLIND to a mover's self-overlap interior (NN residuals
+    # shrink as sampling densifies; 48-78% coverage measured at 65.4k
+    # pts/frame), so supervising "static" with its complement suppresses
+    # and gates off true object flow (measured on the 120-epoch headline:
+    # gated seflowpp AccS 0.141 -> 0.012, EPE_FD 0.369 -> 0.674 while
+    # EPE_BS improved — the gate closed on exactly the interior points).
+    # The paint-expanded translation priors (ssl_labels) cover the
+    # interior, so their mask completes the positive class.
+    obj_pos = dynamic0
+    if prior_valid0 is not None:
+        obj_pos = obj_pos | prior_valid0
     terms = {
         "chamfer_dis": chamfer,
-        "static_flow_loss": static_flow_loss(flow, valid0 & (~dynamic0)),
+        "static_flow_loss": static_flow_loss(flow, valid0 & (~obj_pos)),
         "dynamic_chamfer_dis": dyn_chamfer,
         "cluster_based_pc0pc1": cluster_rigidity_loss(
             flow, cluster0, valid0, num_clusters
@@ -213,5 +237,5 @@ def seflowpp_loss_sampled(
             flow, prior0, prior_valid0 & valid0
         )
     if gate_logit0 is not None:
-        terms["gate_loss"] = gate_bce_loss(gate_logit0, dynamic0, valid0)
+        terms["gate_loss"] = gate_bce_loss(gate_logit0, obj_pos, valid0)
     return _assemble(weights, terms)

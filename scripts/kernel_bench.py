@@ -15,6 +15,12 @@ Section selection via HIMO_BENCH_ONLY:
     'scatter'   scatter fwd+bwd only
     'nn'        NN section only (sweep HIMO_NN_RT cheaply)
     'mxu'       MXU one-hot scatter/gather A/B only (sweep HIMO_MXU_WIN)
+    'store'     store-only scatter probes: does removing the RMW read
+                (read-modify-write alias hazard on the output window) let
+                Mosaic pipeline the per-point dynamic-row stores? Times the
+                RMW table kernel vs write-only variants (table order-chase
+                and presorted stream, +/- the in-kernel segmented
+                prefix-max that makes ordered write-only stores correct).
 Any other value exits with an error (a typo must not silently run the
 wrong section). HIMO_BENCH_PRIMS=1 adds the XLA-primitive probes to the
 scatter section.
@@ -193,14 +199,18 @@ def main():
     print(f"device={jax.devices()[0].platform} rtt={1e3 * rtt:.1f} ms")
     rng = np.random.default_rng(0)
     only = os.environ.get("HIMO_BENCH_ONLY", "")
-    if only not in ("", "scatter", "nn", "mxu"):
+    if only not in ("", "scatter", "nn", "mxu", "store"):
         raise SystemExit(
-            f"HIMO_BENCH_ONLY={only!r} is not one of '', 'scatter', 'nn', 'mxu'"
+            f"HIMO_BENCH_ONLY={only!r} is not one of "
+            "'', 'scatter', 'nn', 'mxu', 'store'"
         )
 
     # ---- scatter fwd+bwd at training shapes (B, N, C) -> 512^2 rows
     if only == "mxu":
         _mxu_section(jax, jnp, rng, rtt)
+        return
+    if only == "store":
+        _store_section(jax, jnp, rng, rtt)
         return
     if only == "nn":
         _nn_section(jax, jnp, rng, rtt)
@@ -253,6 +263,225 @@ def main():
 
     if only != "scatter":
         _nn_section(jax, jnp, rng, rtt)
+
+
+def _store_section(jax, jnp, rng, rtt):
+    """Write-only scatter probes (HIMO_BENCH_ONLY=store).
+
+    Hypothesis: the ~21 ns/pt scalar floor of the table RMW kernel is the
+    READ side of its read-modify-write — Mosaic must serialize dynamic-row
+    RMWs on the same window (any two might alias), while pure stores to
+    unknown rows can overlap (write-after-write ordering is free). With
+    pid-SORTED streams write-only is made CORRECT by a segmented inclusive
+    prefix-combine first (each segment's last row holds its total; stores
+    issue in ascending order so the last write per pillar wins). Probes:
+
+      rmw table      — the production kernel (order-chase, RMW), baseline
+      store table    — order-chase, o_ref write only (dup-INCORRECT; floor)
+      store stream   — presorted feats streamed, write only (dup-INCORRECT)
+      store stream+scan — + in-kernel log2(CHUNK) segmented prefix-max
+                       (chunk-correct; cross-chunk carry not in the probe)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import bench as _bench
+    from himo_tpu.ops import voxelize as V
+    from himo_tpu.ops.voxelize import PillarConfig, voxelize_pillars
+
+    pillar = PillarConfig(voxel_size=(0.2, 0.2))
+    rows = 512 * 512
+    c = 32
+    pc = jnp.asarray(_bench.lidar_like_cloud(np.random.default_rng(0), B, N))
+    valid = jnp.asarray(rng.uniform(size=(B, N)) < 0.92)
+    feats = jnp.asarray(rng.normal(size=(B, N, c)), jnp.float32)
+    bands, band_rows, total_rows = V._band_partition(rows, c)
+    chunk = V._SCATTER_CHUNK
+    print(f"bands={bands} band_rows={band_rows} chunk={chunk}")
+
+    def prep(p, v, f):
+        grid = voxelize_pillars(p, v, pillar)
+        pids = grid.pillar_ids
+        f = jnp.where(grid.in_range[:, None], f, V._NEG)
+        order = jnp.argsort(pids).astype(jnp.int32)
+        spids = jnp.take(pids, order)
+        fsort = jnp.take(f, order, axis=0)
+        starts = V._band_starts(spids, bands, band_rows)
+        n_live = jnp.searchsorted(spids, jnp.asarray(rows, spids.dtype))
+        starts = jnp.minimum(starts, n_live.astype(jnp.int32))
+        return spids, order, f, fsort, starts
+
+    spids, order, ftab, fsort, starts = jax.jit(jax.vmap(prep))(pc, valid, feats)
+
+    # --- kernel variants (single band call; lax.map over bands like prod)
+    def table_kernel(rmw):
+        def kernel(meta_ref, spids_ref, order_ref, feat_ref, o_ref):
+            o_ref[:, :] = jnp.full_like(o_ref, V._NEG)
+            lo = meta_ref[2]
+            s, e = meta_ref[0], meta_ref[1]
+            n_main = (e - s) // V._UNROLL
+
+            def one(i):
+                row = feat_ref[pl.ds(order_ref[i], 1), :]
+                local = spids_ref[i] - lo
+                if rmw:
+                    cur = o_ref[pl.ds(local, 1), :]
+                    o_ref[pl.ds(local, 1), :] = jnp.maximum(cur, row)
+                else:
+                    o_ref[pl.ds(local, 1), :] = row
+
+            def body(t, _):
+                base = s + t * V._UNROLL
+                for u in range(V._UNROLL):
+                    one(base + u)
+                return 0
+
+            jax.lax.fori_loop(0, n_main, body, 0)
+
+            def tail(i, _):
+                one(i)
+                return 0
+
+            jax.lax.fori_loop(s + n_main * V._UNROLL, e, tail, 0)
+
+        return kernel
+
+    def stream_kernel(scan):
+        def kernel(meta_ref, spids_ref, pidv_ref, feat_ref, o_ref, scr_ref):
+            step = pl.program_id(0)
+
+            @pl.when(step == 0)
+            def _():
+                o_ref[:, :] = jnp.full_like(o_ref, V._NEG)
+
+            vals = feat_ref[:, :]
+            if scan:
+                pidv = pidv_ref[:, :]
+                idx = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+                d = 1
+                while d < chunk:
+                    sv = pltpu.roll(vals, d, 0)
+                    sp = pltpu.roll(pidv, d, 0)
+                    ok = (sp == pidv) & (idx >= d)
+                    vals = jnp.where(ok, jnp.maximum(vals, sv), vals)
+                    d *= 2
+            scr_ref[:, :] = vals
+            s = jnp.maximum(meta_ref[0], step * chunk)
+            e = jnp.minimum(meta_ref[1], (step + 1) * chunk)
+            lo = meta_ref[2]
+            base = step * chunk
+            n_main = (e - s) // V._UNROLL
+
+            def one(i):
+                o_ref[pl.ds(spids_ref[i] - lo, 1), :] = scr_ref[
+                    pl.ds(i - base, 1), :
+                ]
+
+            def body(t, _):
+                bs = s + t * V._UNROLL
+                for u in range(V._UNROLL):
+                    one(bs + u)
+                return 0
+
+            jax.lax.fori_loop(0, n_main, body, 0)
+
+            def tail(i, _):
+                one(i)
+                return 0
+
+            jax.lax.fori_loop(s + n_main * V._UNROLL, e, tail, 0)
+
+        return kernel
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=V._VMEM_LIMIT_BYTES)
+
+    def table_call(kern):
+        def band_call(meta, sp, od, ft):
+            n = ft.shape[0]
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((band_rows, c), ft.dtype),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=3,
+                    grid=(1,),
+                    in_specs=[pl.BlockSpec((n, c), lambda i, *_: (0, 0),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((band_rows, c), lambda i, *_: (0, 0),
+                                           memory_space=pltpu.VMEM),
+                ),
+                compiler_params=params,
+            )(meta, sp, od, ft)
+
+        def one_frame(sp, od, ft, st):
+            los = jnp.arange(bands, dtype=jnp.int32) * band_rows
+            metas = jnp.stack([st[:-1], st[1:], los], axis=1)
+            out = jax.lax.map(
+                lambda m: jax.lax.optimization_barrier(band_call(m, sp, od, ft)),
+                metas,
+            )
+            return jax.lax.optimization_barrier(out).reshape(total_rows, c)
+
+        return one_frame
+
+    def stream_call(kern):
+        def band_call(meta, sp, fs):
+            n = fs.shape[0]
+            return pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((band_rows, c), fs.dtype),
+                grid_spec=pltpu.PrefetchScalarGridSpec(
+                    num_scalar_prefetch=2,
+                    grid=(n // chunk,),
+                    in_specs=[
+                        pl.BlockSpec((chunk, 1), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                        pl.BlockSpec((chunk, c), lambda i, *_: (i, 0),
+                                     memory_space=pltpu.VMEM),
+                    ],
+                    scratch_shapes=[pltpu.VMEM((chunk, c), jnp.float32)],
+                    out_specs=pl.BlockSpec((band_rows, c), lambda i, *_: (0, 0),
+                                           memory_space=pltpu.VMEM),
+                ),
+                compiler_params=params,
+            )(meta, sp, sp[:, None].astype(jnp.int32), fs)
+
+        def one_frame(sp, fs, st):
+            los = jnp.arange(bands, dtype=jnp.int32) * band_rows
+            metas = jnp.stack([st[:-1], st[1:], los], axis=1)
+            out = jax.lax.map(
+                lambda m: jax.lax.optimization_barrier(band_call(m, sp, fs)),
+                metas,
+            )
+            return jax.lax.optimization_barrier(out).reshape(total_rows, c)
+
+        return one_frame
+
+    def chain(one_frame, *inputs):
+        @jax.jit
+        def run(*args):
+            def body(f, _):
+                img = jax.vmap(one_frame)(*args[:-1], f)
+                f2 = args[-1] + img[:, 0, 0].reshape(B, 1, 1) * 1e-9
+                return f2, None
+
+            # thread the LAST input (feats-like) through the scan
+            out, _ = jax.lax.scan(body, args[-1], None, length=CHAIN)
+            return jnp.sum(out[:, 0, 0])
+
+        return _time(run, *inputs, rtt=rtt)
+
+    t = chain(lambda sp, od, st, ft: table_call(table_kernel(True))(sp, od, ft, st),
+              spids, order, starts, ftab)
+    print(f"rmw table   (B{B} N{N} C{c}): {1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
+    t = chain(lambda sp, od, st, ft: table_call(table_kernel(False))(sp, od, ft, st),
+              spids, order, starts, ftab)
+    print(f"store table (dup-incorrect): {1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
+    t = chain(lambda sp, st, fs: stream_call(stream_kernel(False))(sp, fs, st),
+              spids, starts, fsort)
+    print(f"store stream (dup-incorrect): {1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
+    t = chain(lambda sp, st, fs: stream_call(stream_kernel(True))(sp, fs, st),
+              spids, starts, fsort)
+    print(f"store stream+scan (chunk-correct): {1e3 * t:.1f} ms = {1e9 * t / (B * N):.1f} ns/pt")
 
 
 def _mxu_section(jax, jnp, rng, rtt):
