@@ -825,7 +825,12 @@ def recover_split_translations(
                   f"{int(inbox.sum())} err {err:.3f} tol {tol:.3f} "
                   f"{'PASS' if err <= tol else 'FAIL'}")
         if err > tol:
-            return None, True
+            # Retryable: report the cover this delta WOULD have, so a
+            # round-1 deadlock can bootstrap round 2 (see below).
+            q1_all = _desmear(pool1, pool_dt1, delta, period)
+            dcov = nn_residual_distances(q1_all, aligned)
+            covered = dcov <= max(0.6, 2.0 * _cluster_spacing(aligned))
+            return None, (err, covered)
         # Sub-resolution snap (see match_cluster_translations): a verified
         # delta below its own acceptance tolerance carries no measurable
         # motion evidence — emit it as zero so sparse static structure
@@ -838,19 +843,43 @@ def recover_split_translations(
         # second round's bwd exclusion.
         dcov = nn_residual_distances(q1, aligned)
         covered = dcov <= max(0.6, 2.0 * _cluster_spacing(aligned))
-        return (snapped.astype(np.float32), res, res_raw, covered), False
+        return (snapped.astype(np.float32), res, res_raw, covered, err), False
 
+    # NOTE a per-round RELATIVE error cut (keep hits within 1.5x of the
+    # round's best) was tried here to kill marginally-verifying blends and
+    # REVERTED: in a merged cluster the members' truths verify at different
+    # errors (sparser member 0.72 vs denser 0.42 at 18k), so the global cut
+    # dropped the sparser member's truth while the blend (0.59) survived —
+    # and it changed nothing on the scene that motivated it. Blend killing
+    # belongs to the selection/unique-support phase below.
     evaluated = []  # (delta, gated residuals, raw residuals, round2 flag)
     retry = []
     covered_union = np.zeros(len(pool1), bool)
     no_excl = np.zeros(len(pool1), bool)
+    hits1 = []
     for cand in cands:
         hit, retryable = evaluate(cand, no_excl)
         if hit is not None:
-            evaluated.append(hit[:3] + (False,))
-            covered_union |= hit[3]
-        elif retryable:
-            retry.append(cand)
+            hits1.append(hit)
+        elif retryable is not False:
+            retry.append((retryable[0], retryable[1], cand))
+    for hit in hits1:
+        evaluated.append(hit[:3] + (False,))
+        covered_union |= hit[3]
+    # Round-1 DEADLOCK: a merged cluster whose members move in opposite
+    # directions vetoes itself symmetrically — every member's truth fails
+    # on the others' must-move strips and no accepted cover exists to relax
+    # with (measured at 65.4k: both refined truths of a 2-member cluster at
+    # err ~0.8 vs tol 0.51, zero claims). Bootstrap: provisionally take the
+    # best-err failed candidate's cover as the exclusion seed. Junk cannot
+    # ride this — every round-2 acceptance still verifies fwd + residual
+    # must-move, and claims sit in the lowest tier.
+    if retry and not evaluated:
+        retry.sort(key=lambda t: t[0])
+        covered_union |= retry[0][1]
+        if debug:
+            print(f"  [recover] deadlock bootstrap: seeding round 2 with "
+                  f"err {retry[0][0]:.3f} candidate's cover")
     # SECOND round for bwd-failures: a merged sibling's claim fails round 1
     # on the FAST member's must-move strip (mutual veto); once the fast
     # member's claim is accepted, its covered pool points stop counting
@@ -863,11 +892,31 @@ def recover_split_translations(
         if debug:
             print(f"  [recover] round 2: {len(retry)} bwd-failures vs "
                   f"{int(covered_union.sum())} covered pool points")
-        for cand in retry:
-            hit, _ = evaluate(cand, covered_union)
-            if hit is not None:
+        # Fixpoint iteration: acceptance grows the cover, which can unlock a
+        # sibling evaluated earlier in the pass (measured: the bootstrap
+        # seed's opposite-moving partner passed only AFTER the partner's own
+        # acceptance excluded its strip — one fixed-order pass missed it).
+        pending = list(retry)
+        for _ in range(3):
+            still = []
+            hits2 = []
+            for item in pending:
+                # Exclude OTHER claims' covers only: a candidate whose own
+                # round-1 cover is excluded loses exactly the evidence it
+                # explains and can never pass (measured on the deadlock
+                # bootstrap: the seed re-failed against itself at err 1.9).
+                excl = covered_union & ~item[1]
+                hit, _ = evaluate(item[2], excl)
+                if hit is not None:
+                    hits2.append(hit)
+                else:
+                    still.append(item)
+            for hit in hits2:
                 evaluated.append(hit[:3] + (True,))
                 covered_union |= hit[3]
+            pending = still
+            if not hits2 or not pending:
+                break
 
     # Delta SELECTION runs on the GATED residuals; point ASSIGNMENT on the
     # RAW ones. Selection by gated gain kills ghost deltas (their only
