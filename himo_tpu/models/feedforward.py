@@ -64,6 +64,17 @@ class FlowNetConfig:
     # sweep 0 — fast objects beyond the chamfer radius arrive pre-localized,
     # and the prior_flow_loss makes copying a good prior the easy solution.
     prior_feat: bool = False
+    # Residual composition on top of the prior: the network's output is
+    # ADDED to the prior (flow = prior + gated residual) instead of having
+    # to reproduce it from the feature channels. The verified prior is
+    # measured motion evidence (matcher median point err ~0.01-0.03 m, vs
+    # the 0.05 m strict-accuracy threshold), so the strongest inductive
+    # bias is to keep it verbatim and spend network capacity on what the
+    # matcher cannot see: residual corrections, uncovered movers, and
+    # rotation. The prior bypasses the gate — a miscalibrated gate must not
+    # zero a fast object the prior already explains (the prior is zero on
+    # static points by construction).
+    prior_residual: bool = False
     # Pillar pooling: 'max' (PointPillars-classic; scalar-store Pallas
     # kernels, ~21 ns/point floor) or 'mean_sorted' (points argsorted by
     # pillar id per sweep; mean pooling + feature gather ride the MXU
@@ -337,6 +348,9 @@ class SceneFlowNet(nn.Module):
             flow, gate_logit = cols[:, :3], (
                 cols[:, 3] if gate_logit is not None else None
             )
+        if cfg.prior_residual and prior is not None:
+            # flow = prior + gated residual (see FlowNetConfig.prior_residual).
+            flow = flow + prior.astype(jnp.float32)
         flow = jnp.where(valids[0][:, None], flow, 0.0)
         if with_gate:
             if gate_logit is None:
@@ -359,10 +373,25 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         # (measured round 3: EPE_BS 0.138 on the ungated flagship), and the
         # gate — trained against the same SSL dynamic evidence the losses
         # already use — zeroes static residual in the model itself.
-        "seflowpp": dict(decoder="deflow", num_frames=3, gate_head=True),
+        #
+        # The himo_tpu flagship ``seflowpp`` is PRIOR-CONDITIONED: the
+        # verified cluster translation prior — computed self-supervised
+        # from the same (pc0, pc1) pair at inference time by the fleet
+        # (parallel/fleet.frame_to_arrays) — enters as 3 PFN channels AND
+        # as the residual base (flow = prior + gated residual). This is the
+        # high-speed capability HiMo exists for: the reference buys it with
+        # 110k real training frames (/root/reference/README.md:95); the
+        # TPU rebuild buys it with measured per-pair motion evidence. The
+        # pure feed-forward ablation stays available as ``seflowpp_noprior``
+        # and both rows are reported in PARITY.md.
+        "seflowpp": dict(
+            decoder="deflow", num_frames=3, gate_head=True,
+            prior_feat=True, prior_residual=True,
+        ),
+        "seflowpp_noprior": dict(decoder="deflow", num_frames=3, gate_head=True),
         "seflow": dict(decoder="deflow", num_frames=2, gate_head=True),
-        # himo_tpu extension: SeFlow++ conditioned on the verified cluster
-        # translation prior (3 extra PFN channels on sweep 0).
+        # Back-compat alias (pre-round-4 name of the prior-conditioned net;
+        # feature-channels only, no residual composition).
         "seflowpp_prior": dict(
             decoder="deflow", num_frames=3, prior_feat=True, gate_head=True
         ),
@@ -439,6 +468,7 @@ def _feedforward_estimator(name: str):
 
 
 for _name in (
-    "fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp", "seflowpp_prior"
+    "fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp",
+    "seflowpp_noprior", "seflowpp_prior",
 ):
     register_estimator(_name)(_feedforward_estimator(_name))

@@ -441,7 +441,18 @@ class ClusterTracker:
     """
 
     def __init__(self, max_coast: int = 2):
-        # {"pos_w": (3,), "delta_w": (3,), "age": int, "hits": int}
+        # {"pos_w": (3,), "delta_w": (3,), "age": int, "hits": int,
+        #  "meas_w": (3,), "meas_hits": int}
+        # delta_w is the POST-null motion claim (what priors supervise);
+        # meas_w is the matcher's MEASURED delta BEFORE null demotion /
+        # sub-resolution snap. The two diverge exactly for slow movers
+        # (~0.3-1 m/frame): their measured deltas sit inside the
+        # verification tolerance, so single-frame evidence cannot tell
+        # them from re-sampled static structure and the null zeroes them
+        # — but a fabricated delta has RANDOM direction per frame, while
+        # a real slow mover's measured deltas agree frame over frame.
+        # meas_hits counts that agreement; >= 1 is physical motion
+        # evidence noise can't fake (see measured_track_consistent).
         self.tracks = []
         self.max_coast = max_coast
 
@@ -461,6 +472,23 @@ class ClusterTracker:
             for tr in self.tracks
         ]
 
+    def predict_measured(self, pose1: np.ndarray) -> list:
+        """Per track: (position, MEASURED delta, measured-confirmed) in the
+        pc1-ego frame. measured-confirmed = the matcher measured agreeing
+        pre-null deltas on >= 2 consecutive frames (see __init__) — the
+        velocity-continuity evidence that lets a slow mover's sub-tolerance
+        motion survive the zero-motion null."""
+        R = np.asarray(pose1[:3, :3], np.float64)
+        t = np.asarray(pose1[:3, 3], np.float64)
+        return [
+            (
+                (R.T @ (tr["pos_w"] - t)).astype(np.float32),
+                (R.T @ tr.get("meas_w", tr["delta_w"])).astype(np.float32),
+                tr.get("meas_hits", 0) >= 1,
+            )
+            for tr in self.tracks
+        ]
+
     def update(self, assigned: list, pose1: np.ndarray) -> None:
         """Replace tracks with this frame's accepted matches and coast the
         unconfirmed remainder. ``assigned`` = (centroid_ego1, delta_ego1)
@@ -475,24 +503,46 @@ class ClusterTracker:
         R = np.asarray(pose1[:3, :3], np.float64)
         t = np.asarray(pose1[:3, 3], np.float64)
         new = []
-        for c, d in assigned:
-            pos_w = R @ (np.asarray(c, np.float64) + np.asarray(d, np.float64)) + t
+        for entry in assigned:
+            # (centroid, delta) or (centroid, delta, measured) — measured
+            # is the matcher's pre-null/pre-snap delta (defaults to delta).
+            c, d = entry[0], entry[1]
+            m = entry[2] if len(entry) > 2 else d
+            meas_w = R @ np.asarray(m, np.float64)
+            # Position prediction uses the MEASURED delta: a slow mover
+            # demoted to zero still physically advances, and predicting
+            # with the zeroed claim would lag its track by |meas|/frame.
+            pos_w = R @ (np.asarray(c, np.float64) + np.asarray(m, np.float64)) + t
             delta_w = R @ np.asarray(d, np.float64)
             hits = 0
+            meas_hits = 0
             for tr in self.tracks:
-                pred = tr["pos_w"] + tr["delta_w"]
-                if (
-                    np.linalg.norm(pred - pos_w) < 1.5
-                    and np.linalg.norm(tr["delta_w"] - delta_w) < 0.6
-                ):
+                pred = tr["pos_w"] + tr.get("meas_w", tr["delta_w"])
+                if np.linalg.norm(pred - pos_w) >= 1.5:
+                    continue
+                if np.linalg.norm(tr["delta_w"] - delta_w) < 0.6:
                     hits = max(hits, tr["hits"] + 1)
+                # Measured-motion agreement: tighter than the claim bound
+                # (a fabricated sub-tolerance delta has random direction
+                # per frame; 0.25 m absolute / 35% relative separates
+                # persistence from chance) and only for genuine motion
+                # (> 0.3 m/frame = 3 m/s).
+                m_old = tr.get("meas_w", tr["delta_w"])
+                m_norm = float(np.linalg.norm(meas_w))
+                if m_norm > 0.3 and float(
+                    np.linalg.norm(m_old - meas_w)
+                ) <= max(0.25, 0.35 * m_norm):
+                    meas_hits = max(
+                        meas_hits, tr.get("meas_hits", 0) + 1
+                    )
             new.append(
-                {"pos_w": pos_w, "delta_w": delta_w, "age": 0, "hits": hits}
+                {"pos_w": pos_w, "delta_w": delta_w, "age": 0, "hits": hits,
+                 "meas_w": meas_w, "meas_hits": meas_hits}
             )
         for tr in self.tracks:
             if tr["age"] + 1 > self.max_coast:
                 continue
-            pred = tr["pos_w"] + tr["delta_w"]
+            pred = tr["pos_w"] + tr.get("meas_w", tr["delta_w"])
             if any(np.linalg.norm(pred - n["pos_w"]) < 1.5 for n in new):
                 continue  # confirmed (or superseded) by a fresh track
             new.append(
@@ -501,6 +551,8 @@ class ClusterTracker:
                     "delta_w": tr["delta_w"],
                     "age": tr["age"] + 1,
                     "hits": tr["hits"],
+                    "meas_w": tr.get("meas_w", tr["delta_w"]),
+                    "meas_hits": tr.get("meas_hits", 0),
                 }
             )
         self.tracks = new
@@ -520,15 +572,64 @@ class ClusterTracker:
         out = ClusterTracker(max_coast=self.max_coast)
         out.tracks = [
             {
-                "pos_w": tr["pos_w"] - n_frames * tr["delta_w"],
+                # Roll back along the MEASURED velocity when it is
+                # confirmed — a slow mover's claim delta is zero but the
+                # object did move between frame 0 and now.
+                "pos_w": tr["pos_w"] - n_frames * (
+                    tr.get("meas_w", tr["delta_w"])
+                    if tr.get("meas_hits", 0) >= 1 else tr["delta_w"]
+                ),
                 "delta_w": tr["delta_w"],
                 "age": 0,
                 "hits": tr["hits"],
+                "meas_w": tr.get("meas_w", tr["delta_w"]),
+                "meas_hits": tr.get("meas_hits", 0),
             }
             for tr in self.tracks
-            if tr["age"] == 0 and tr["hits"] >= 1
+            if tr["age"] == 0 and (
+                tr["hits"] >= 1 or tr.get("meas_hits", 0) >= 1
+            )
         ]
         return out
+
+
+def measured_track_consistent(
+    delta,
+    center,
+    track_meas,
+    min_speed: float = 0.3,
+    pos_gate: float = 3.0,
+) -> bool:
+    """True when a MEASURED-confirmed track near ``center`` agrees with
+    ``delta`` (see ClusterTracker.predict_measured).
+
+    This is the veto that lets a slow mover's sub-tolerance motion survive
+    the zero-motion demotions (null test, sub-resolution snap): a single
+    frame cannot tell a real 0.3-1 m/frame delta from re-sampled static
+    structure, but a fabricated delta has random direction per frame while
+    a real mover's measured deltas persist. The agreement bound is tighter
+    than the claim-track bound (0.25 m absolute / 35% relative, capped at
+    the 0.6 m claim bound) and only genuine motion (> ``min_speed``
+    m/frame) qualifies — a confirmed STATIC track must keep agreeing with
+    the null, not shelter sub-tolerance claims from it."""
+    delta = np.asarray(delta, np.float32)
+    center = np.asarray(center, np.float32)[:3]
+    for pos, md, conf in track_meas:
+        if not conf:
+            continue
+        md = np.asarray(md, np.float32)
+        mdn = float(np.linalg.norm(md))
+        if mdn <= min_speed:
+            continue
+        if float(
+            np.linalg.norm(np.asarray(pos, np.float32)[:3] - center)
+        ) > pos_gate:
+            continue
+        if float(np.linalg.norm(md - delta)) <= min(
+            0.6, max(0.25, 0.35 * mdn)
+        ):
+            return True
+    return False
 
 
 def _cluster_spacing(pts: np.ndarray) -> float:
@@ -570,9 +671,11 @@ def recover_split_translations(
     extra_candidates=(),
     trim: float = 1.0,
     track_deltas=(),
+    track_meas=(),
     pool_labels=None,
     cand_mask=None,
     zero_ref=None,
+    measured_out=None,
     debug: bool = False,
 ) -> list:
     """Translation recovery for a pc0 cluster with no 1-1 pc1 cluster match,
@@ -831,19 +934,14 @@ def recover_split_translations(
             dcov = nn_residual_distances(q1_all, aligned)
             covered = dcov <= max(0.6, 2.0 * _cluster_spacing(aligned))
             return None, (err, covered)
-        # Sub-resolution snap (see match_cluster_translations): a verified
-        # delta below its own acceptance tolerance carries no measurable
-        # motion evidence — emit it as zero so sparse static structure
-        # cannot acquire spurious sub-tolerance priors. The claims keep the
-        # measured delta's residuals (the two differ by < tol everywhere).
-        snapped = delta
-        if float(np.linalg.norm(delta)) < tol:
-            snapped = np.zeros(3, np.float32)
+        # The MEASURED delta flows through selection/assignment; the
+        # sub-resolution snap (see match_cluster_translations) is applied
+        # at final assembly where the measured-track veto can see it.
         # Pool points this claim covers (its own de-smeared frame), for the
         # second round's bwd exclusion.
         dcov = nn_residual_distances(q1, aligned)
         covered = dcov <= max(0.6, 2.0 * _cluster_spacing(aligned))
-        return (snapped.astype(np.float32), res, res_raw, covered, err), False
+        return (delta.astype(np.float32), res, res_raw, covered, err), False
 
     # NOTE a per-round RELATIVE error cut (keep hits within 1.5x of the
     # round's best) was tried here to kill marginally-verifying blends and
@@ -1075,7 +1173,26 @@ def recover_split_translations(
                 reassigned.append((delta, mask, res, res_raw, tier_k))
         if reassigned:
             out = reassigned
-    final = [(delta, claim) for delta, claim, _, _, _ in out]
+    # Sub-resolution snap, applied at assembly: a verified delta below the
+    # shared acceptance tolerance carries no single-frame motion evidence —
+    # emit it as zero so sparse static structure cannot acquire spurious
+    # sub-tolerance priors (measured: test_matcher_stress stopped-object
+    # case) — UNLESS a measured-confirmed track agrees with it (a real slow
+    # mover; see measured_track_consistent). ``measured_out`` receives the
+    # pre-snap deltas in claim order so the caller's tracker can accumulate
+    # measured-motion evidence across frames either way.
+    final = []
+    for delta, claim, _, _, _ in out:
+        d_out = delta
+        if float(np.linalg.norm(delta)) < tol_shared and not (
+            track_meas
+            and claim.any()
+            and measured_track_consistent(delta, pts0[claim].mean(0), track_meas)
+        ):
+            d_out = np.zeros(3, np.float32)
+        if measured_out is not None:
+            measured_out.append(np.asarray(delta, np.float32))
+        final.append((d_out, claim))
     return final
 
 
@@ -1096,8 +1213,17 @@ def match_cluster_translations(
     return_splits: bool = False,
     trim: float = 1.0,
     track_priors=None,
+    track_meas=None,
+    measured_out=None,
 ):
     """Translation seeds from VERIFIED 1-1 cluster matching.
+
+    ``track_meas`` (ClusterTracker.predict_measured output) lets a
+    measured-confirmed slow mover's sub-tolerance delta survive the
+    sub-resolution snap; ``measured_out`` (a dict, if given) receives the
+    PRE-snap measured deltas — keyed ``i`` for cluster i's 1-1 match and
+    ``(i, k)`` for its k-th split claim — so the caller's tracker can
+    accumulate measured-motion evidence across frames.
 
     For every (pc0 cluster, pc1 cluster) pair whose centroids lie within
     ``match_gate`` meters, the candidate delta (centroid difference, refined
@@ -1194,18 +1320,10 @@ def match_cluster_translations(
                 )
                 tol = min(max(verify_tol, spacing_factor * spacing1[j]), 1.0)
                 if err <= tol:
-                    # SUB-RESOLUTION SNAP: a delta smaller than the pair's
-                    # own acceptance tolerance is below the measurement's
-                    # noise floor — indistinguishable from "did not move".
-                    # Sparse (0.4 m-spaced) STATIC objects re-sampled by
-                    # successive sweeps otherwise verify spurious ~0.6 m
-                    # deltas inside their ~0.7 m tolerance (measured:
-                    # test_matcher_stress stopped-object case). The match
-                    # itself stays (tracking + pc1 exclusivity); only the
-                    # motion claim zeroes.
-                    if float(np.linalg.norm(delta)) < tol:
-                        delta = np.zeros(3, np.float32)
-                    candidates.append((err, i, j, delta))
+                    # The MEASURED delta rides into assignment; the
+                    # sub-resolution snap is applied post-assignment where
+                    # the measured-track veto can see it (below).
+                    candidates.append((err, i, j, delta, tol))
         # GLOBAL min-cost assignment over the verified candidate graph.
         # Cost = err + a 0.05/m motion-magnitude penalty; two identical
         # vehicles in convoy are geometrically interchangeable (same shape,
@@ -1223,17 +1341,20 @@ def match_cluster_translations(
             NO_MATCH = 1.0e6
             cost = np.full((n0, n1), NO_MATCH, np.float64)
             by_pair = {}
-            for err, i, j, delta in candidates:
+            for err, i, j, delta, tol in candidates:
+                # Motion-magnitude penalty on the POST-snap magnitude (a
+                # sub-tolerance candidate competes as "did not move").
+                eff = delta if float(np.linalg.norm(delta)) >= tol else 0.0
                 consistent = any(
                     conf and float(np.linalg.norm(delta - td)) <= 0.6
                     for td, conf in tracks_near(i)
                 )
-                c_ = err + 0.05 * float(np.linalg.norm(delta))
+                c_ = err + 0.05 * float(np.linalg.norm(eff))
                 if consistent:
                     c_ -= 100.0
                 if c_ < cost[i, j]:
                     cost[i, j] = c_
-                    by_pair[(i, j)] = delta
+                    by_pair[(i, j)] = (delta, tol)
             from scipy.optimize import linear_sum_assignment
 
             rows, cols = linear_sum_assignment(cost)
@@ -1243,7 +1364,28 @@ def match_cluster_translations(
                 used0.add(i)
                 used1.add(j)
                 if i < max_clusters:
-                    init_t[i] = by_pair[(i, j)]
+                    delta, tol = by_pair[(i, j)]
+                    if measured_out is not None:
+                        measured_out[i] = np.asarray(delta, np.float32)
+                    # SUB-RESOLUTION SNAP: a delta smaller than the pair's
+                    # own acceptance tolerance is below the measurement's
+                    # noise floor — indistinguishable from "did not move".
+                    # Sparse (0.4 m-spaced) STATIC objects re-sampled by
+                    # successive sweeps otherwise verify spurious ~0.6 m
+                    # deltas inside their ~0.7 m tolerance (measured:
+                    # test_matcher_stress stopped-object case). The match
+                    # itself stays (tracking + pc1 exclusivity); only the
+                    # motion claim zeroes — UNLESS a measured-confirmed
+                    # track agrees (a real slow mover; see
+                    # measured_track_consistent).
+                    if float(np.linalg.norm(delta)) < tol and not (
+                        track_meas
+                        and measured_track_consistent(
+                            delta, cents0[i], track_meas
+                        )
+                    ):
+                        delta = np.zeros(3, np.float32)
+                    init_t[i] = delta
                     matched[i] = True
                     used_pairs[i] = j
 
@@ -1316,6 +1458,10 @@ def match_cluster_translations(
                 extra_candidates=[init_t[i]] if matched[i] else [],
                 trim=trim,
                 track_deltas=tracks_near(i),
+                track_meas=track_meas or (),
+                measured_out=(
+                    None if measured_out is None else (split_meas := [])
+                ),
                 pool_labels=labels1[dyn_ix][near],
                 cand_mask=(
                     None if recover_cand1 is None
@@ -1337,6 +1483,9 @@ def match_cluster_translations(
                 init_t[i] = found[0][0]  # largest split seeds the cluster
                 matched[i] = True
                 splits[i] = found
+                if measured_out is not None:
+                    for k, meas in enumerate(split_meas):
+                        measured_out[(i, k)] = meas
                 for delta, local_mask in found:
                     ldt = None if dts0[i] is None else dts0[i][local_mask]
                     _mark_covered(

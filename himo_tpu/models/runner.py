@@ -97,7 +97,7 @@ def estimate_scene_flow(
     frames = 0
     start = time.perf_counter()
 
-    first_pair: Dict[str, int] = {}  # scene -> dataset index of pair 0
+    early_pairs: Dict[str, list] = {}  # scene -> dataset indices of pairs 0-1
     pairs_in_scene: Dict[str, int] = {}
 
     def process(i: int, key) -> int:
@@ -111,7 +111,8 @@ def estimate_scene_flow(
         if not data.get("has_next", True):
             return 0
         sid = data["scene_id"]
-        first_pair.setdefault(sid, i)
+        if len(early_pairs.setdefault(sid, [])) < 2 and i not in early_pairs[sid]:
+            early_pairs[sid].append(i)
         pairs_in_scene[sid] = pairs_in_scene.get(sid, 0) + 1
         xyz0 = data["pc0"][:, :3]
         xyz1 = data["pc1"][:, :3]
@@ -195,25 +196,36 @@ def estimate_scene_flow(
             frames += 1
 
     # Scene-start repair (offline, like the label writers): each scene's
-    # FIRST pair was estimated with no velocity-continuity track — the one
-    # place a merged-cluster blend or convoy swap has nothing to overrule
-    # it. Re-estimate it with the scene's confirmed tracks rolled back
-    # under constant velocity (models/icp_flow.ClusterTracker.backcast)
-    # when the estimator exposes its per-scene trackers and the scene ran
-    # long enough to confirm them.
+    # first TWO pairs were estimated before velocity-continuity tracks
+    # confirm — the places a merged-cluster blend or convoy swap has
+    # nothing to overrule it, and a slow mover's sub-tolerance motion has
+    # no measured-track evidence against the null/snap demotions.
+    # Re-estimate them with the scene's confirmed tracks rolled back under
+    # constant velocity (models/icp_flow.ClusterTracker.backcast) when the
+    # estimator exposes its per-scene trackers and the scene ran long
+    # enough to confirm them.
     trackers = getattr(estimator, "trackers", None)
     if trackers:
-        for sid, idx in first_pair.items():
-            n_pairs = pairs_in_scene.get(sid, 0)
+        repair = [
+            (sid, j, idx, pairs_in_scene.get(sid, 0))
+            for sid, idxs in early_pairs.items()
+            for j, idx in enumerate(idxs)
+        ]
+        for sid, j, idx, n_pairs in repair:
             tr = trackers.get(sid)
             if tr is None or n_pairs < 3:
                 continue
-            back = tr.backcast(n_frames=n_pairs)
+            # Backcast from the scene-END tracker state (each repair's
+            # process() call mutates trackers[sid], so roll back from the
+            # preserved original).
+            back = tr.backcast(n_frames=n_pairs - j)
             if not back.tracks:
                 continue
+            trackers[f"_end_{sid}"] = tr  # preserve across repairs
             trackers[sid] = back
             key, sub = jax.random.split(key)
             process(idx, sub)
+            trackers[sid] = trackers.pop(f"_end_{sid}")
 
     elapsed = time.perf_counter() - start
     if verbose:

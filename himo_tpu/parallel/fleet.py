@@ -64,6 +64,7 @@ def frame_to_arrays(
     with_history: bool,
     defer_pack: bool = False,
     with_prior: bool = False,
+    tracker=None,
 ) -> Dict:
     """One dataset frame -> fixed-size arrays for the fleet step.
 
@@ -104,17 +105,36 @@ def frame_to_arrays(
         out["pc_hist"] = ph
         out["valid_hist"] = vh
     if with_prior:
-        # Prior-conditioned models: the verified cluster translation prior,
-        # computed at FULL resolution (host DBSCAN in the prefetch thread).
-        from himo_tpu.models.nsfp import cluster_prior_flow
+        if "ssl_prior" in data:
+            # Training data already carries the label writer's priors —
+            # including the measured-velocity slow-mover recovery and the
+            # scene-start backcast repair — so inference is EXACTLY
+            # training-consistent (and the host DBSCAN is skipped).
+            prior_full = np.asarray(data["ssl_prior"], np.float32)
+            if "ssl_prior_valid" in data:
+                pv = np.asarray(data["ssl_prior_valid"], bool)
+                prior_full = np.where(pv[:, None], prior_full, 0.0)
+        else:
+            # Fresh data: the verified cluster translation prior, computed
+            # at FULL resolution (host DBSCAN in the prefetch thread) with
+            # the same de-smeared matcher + per-scene velocity-continuity
+            # tracker the label writers use (min_norm=0: the flagship's
+            # residual composition wants slow movers too, unlike the
+            # optimization seeds that only need what chamfer can't reach).
+            from himo_tpu.models.nsfp import cluster_prior_flow
 
-        comp_full = xyz0 + pflow
-        prior_full = np.asarray(
-            cluster_prior_flow(
-                comp_full, xyz1, ~np.asarray(data["gm0"], bool),
-                ~np.asarray(data["gm1"], bool),
+            comp_full = xyz0 + pflow
+            prior_full = np.asarray(
+                cluster_prior_flow(
+                    comp_full, xyz1, ~np.asarray(data["gm0"], bool),
+                    ~np.asarray(data["gm1"], bool),
+                    min_norm=0.0,
+                    dt0=np.asarray(lidar_dt),
+                    dt1=data.get("lidar_dt1"),
+                    tracker=tracker,
+                    pose1=data.get("pose1"),
+                )
             )
-        )
         out["prior"] = fit(prior_full.astype(np.float32))[0]
     return out
 
@@ -226,16 +246,29 @@ def run_fleet(
             except Exception:
                 pass  # cache warming is best-effort
 
+        # Per-scene velocity-continuity trackers for the computed-prior
+        # path (frames arrive in scene order; disk ssl_prior wins when
+        # present — see frame_to_arrays).
+        trackers: Dict[str, object] = {}
         buf: List[Tuple[int, Dict]] = []
         for i in range(len(dataset)):
             if defer_pack:
                 preload_ahead(i)
+            data = dataset[i]
+            tracker = None
+            if with_prior and "ssl_prior" not in data:
+                from himo_tpu.models.icp_flow import ClusterTracker
+
+                tracker = trackers.setdefault(
+                    data.get("scene_id"), ClusterTracker()
+                )
             buf.append(
                 (
                     i,
                     frame_to_arrays(
-                        dataset[i], config.num_points, with_history,
+                        data, config.num_points, with_history,
                         defer_pack=defer_pack, with_prior=with_prior,
+                        tracker=tracker,
                     ),
                 )
             )
@@ -319,7 +352,13 @@ def fleet_save(
     # Checkpoint restores land on one device; inference wants replicas.
     params = jax.device_put(params, replicated(mesh))
     dataset = SceneFlowDataset(
-        data_dir, with_pc1=True, with_history=net_cfg.num_frames >= 3
+        data_dir, with_pc1=True, with_history=net_cfg.num_frames >= 3,
+        # Prior-conditioned flagships reuse on-disk SSL priors when the
+        # label writers ran (training-consistent; see frame_to_arrays) and
+        # need the successor sweep times for the de-smeared matcher when
+        # they didn't.
+        extra_keys=("ssl_prior", "ssl_prior_valid"),
+        next_keys=("lidar_dt",),
     )
     # (scene_id, timestamp) per frame, matching run_fleet's iteration order.
     index = (

@@ -406,13 +406,17 @@ def translation_priors(
         labels1 = complete_cluster_bodies(xyz1, labels1, eligible1)
         pool1 = pool1 | (labels1 > 0)
     track_priors = None
+    track_meas = None
     if tracker is not None and pose1 is not None:
         track_priors = tracker.predict(pose1)
+        track_meas = tracker.predict_measured(pose1)
+    measured = {}  # cluster i / (i, split k) -> pre-snap measured delta
     init_t, matched, splits = match_cluster_translations(
         pc0_comp, labels0, xyz1, labels1, max_clusters, match_gate,
         dt0=dt0, dt1=dt1, period=period, recover_dynamic1=pool1,
         recover_cand1=np.asarray(dynamic1, bool),
         return_splits=True, track_priors=track_priors,
+        track_meas=track_meas, measured_out=measured,
     )
     prior = np.zeros((len(pc0_comp), 3), np.float32)
     prior_valid = np.zeros(len(pc0_comp), bool)
@@ -457,7 +461,27 @@ def translation_priors(
             max(0.45, 1.75 * _cluster_spacing(pc0_comp[subset_ix])), 1.0
         )
         if float(np.linalg.norm(delta)) > 2.0 * tol_claim:
+            # KNOWN ENVELOPE: on an ULTRA-sparse lone claim (~0.7 m point
+            # spacing, tens of points) the two-sided verification is
+            # toothless and a fabricated multi-meter delta can ride this
+            # bypass (a lone 60-point static object once acquired a 3.55 m
+            # prior). Gating the bypass on claim spacing was tried and
+            # REVERTED: at 18k pts/frame real fast movers' claims are
+            # sparse too, the null leaked through their landing zones, and
+            # the zeroed frames confirmed STATIC tracks that locked the
+            # objects at zero for the whole scene (16 of 156 fast instances
+            # wrong, from 1). The null stays dense-claims-only.
             return "motion", delta
+        # Measured-velocity continuity veto (slow movers): a SUB-tolerance
+        # delta whose direction+magnitude agree with a measured-confirmed
+        # track is physical motion noise can't fake (fabricated deltas have
+        # random direction per frame) — skip the null, keep the motion.
+        if track_meas:
+            from himo_tpu.models.icp_flow import measured_track_consistent
+
+            cent_m = pc0_comp[subset_ix, :3].mean(0)
+            if measured_track_consistent(delta, cent_m, track_meas):
+                return "motion", delta
         if track_priors:
             cent = pc0_comp[subset_ix, :3].mean(0)
             for pos, td, conf in track_priors:
@@ -495,20 +519,24 @@ def translation_priors(
                 for sj, (_, other_mask) in enumerate(splits[cid - 1]):
                     if sj != si:
                         excl[m_ix[other_mask]] = True
+                meas = measured.get((cid - 1, si), delta)
                 verdict, delta = null_verdict(delta, m_ix[local_mask], excl)
                 if verdict == "ambiguous":
                     continue
-                assigned.append((pc0_comp[m_ix[local_mask], :3].mean(0), delta))
+                assigned.append(
+                    (pc0_comp[m_ix[local_mask], :3].mean(0), delta, meas)
+                )
                 if np.linalg.norm(delta) < min_norm:
                     continue
                 prior[m_ix[local_mask]] = delta
                 prior_valid[m_ix[local_mask]] = True
                 paint_jobs.append((m_ix[local_mask], delta))
         elif matched[cid - 1]:
+            meas = measured.get(cid - 1, init_t[cid - 1])
             verdict, delta = null_verdict(init_t[cid - 1], m_ix, excl_other)
             if verdict == "ambiguous":
                 continue
-            assigned.append((pc0_comp[m_ix, :3].mean(0), delta))
+            assigned.append((pc0_comp[m_ix, :3].mean(0), delta, meas))
             if np.linalg.norm(delta) < min_norm:
                 continue
             prior[m_ix] = delta
@@ -672,8 +700,7 @@ def label_scene(frames, threshold: float = 0.18, label_fn=None):
 
     tracker = ClusterTracker()
     out = []
-    first_pair = None
-    pairs = 0
+    pair_ks = []  # indices of pair-bearing frames, in order
     for k, data in enumerate(frames):
         is_pair = bool(data.get("has_next", True))
         # A trailing frame has no successor: its labels are all-zero by
@@ -682,13 +709,18 @@ def label_scene(frames, threshold: float = 0.18, label_fn=None):
         out.append(label_fn(data, tracker if is_pair else None))
         if not is_pair:
             continue
-        if first_pair is None:
-            first_pair = k
-        pairs += 1
-        if pairs == 3:
-            back = tracker.backcast(n_frames=pairs)
-            if back.tracks:
-                out[first_pair] = label_fn(frames[first_pair], back)
+        pair_ks.append(k)
+        if len(pair_ks) == 3:
+            # Re-label the first TWO pairs: confirmation (claim tracks AND
+            # measured-motion tracks) needs two agreeing pairs, so live
+            # tracks only overrule blends/convoy swaps — and only admit a
+            # slow mover's sub-tolerance motion past the null/snap — from
+            # pair 2 onward. Pair j's pc0 sits ``len(pair_ks) - j`` periods
+            # before the tracks' current positions.
+            for j, kk in enumerate(pair_ks[:2]):
+                back = tracker.backcast(n_frames=len(pair_ks) - j)
+                if back.tracks:
+                    out[kk] = label_fn(frames[kk], back)
     return out
 
 

@@ -60,33 +60,41 @@ def run_one(args, root: Path, seed: int) -> dict:
             write_ssl_labels_dufo(root, verbose=True)
         from himo_tpu.training.trainer import TrainConfig, train
 
-        config = TrainConfig(
-            model=args.model,
-            batch_size=8,
-            epochs=args.epochs,
-            lr=args.lr,
-            step_lr_epochs=args.lr_step,
-            num_points=args.num_points,
-            loss_points=8192,
-            log_every=10,
-            val_every=3,
-            seed=seed,
-        )
-        result = train(
-            str(root), config, run_dir=str(root / f"runs/{args.model}")
-        )
-        params = result["params"]
-        print(f"  trained in {time.time() - t0:.0f}s; writing flow (fleet)")
-        from himo_tpu.parallel.fleet import FleetConfig, fleet_save
+        train_models = [args.model]
+        if args.ablate_noprior and args.model == "seflowpp":
+            # Pure feed-forward ablation row: same recipe, no prior input
+            # (the prior-conditioned flagship's delta over it is the
+            # matcher's contribution at inference).
+            train_models.append("seflowpp_noprior")
+        for tm in train_models:
+            config = TrainConfig(
+                model=tm,
+                batch_size=8,
+                epochs=args.epochs,
+                lr=args.lr,
+                step_lr_epochs=args.lr_step,
+                num_points=args.num_points,
+                loss_points=8192,
+                log_every=10,
+                val_every=3,
+                seed=seed,
+            )
+            result = train(
+                str(root), config, run_dir=str(root / f"runs/{tm}")
+            )
+            params = result["params"]
+            print(f"  {tm} trained in {time.time() - t0:.0f}s; "
+                  "writing flow (fleet)")
+            from himo_tpu.parallel.fleet import FleetConfig, fleet_save
 
-        fleet_save(
-            str(root),
-            model=args.model,
-            params=params,
-            output_key=args.model,
-            config=FleetConfig(num_points=args.num_points),
-        )
-        methods.append(args.model)
+            fleet_save(
+                str(root),
+                model=tm,
+                params=params,
+                output_key=tm,
+                config=FleetConfig(num_points=args.num_points),
+            )
+            methods.append(tm)
 
     if not args.skip_opt:
         from himo_tpu.models.runner import estimate_scene_flow
@@ -163,6 +171,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/av2_quality")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument(
+        "--ablate-noprior", action="store_true",
+        help="also train/report the seflowpp_noprior ablation row",
+    )
     ap.add_argument("--skip-opt", action="store_true")
     ap.add_argument(
         "--skip-labels", action="store_true",

@@ -340,5 +340,56 @@ class TestFalsePositivePressure:
             assert (mags > 1.0).sum() == 0
 
 
+class TestSlowMoverRecovery:
+    """Measured-velocity continuity (ClusterTracker.predict_measured): a
+    slow mover's per-frame delta sits INSIDE the verification tolerance, so
+    single-frame evidence cannot tell it from re-sampled static structure
+    and the null/snap demote it to zero — but its MEASURED deltas agree
+    frame over frame while fabrications have random direction. A
+    measured-confirmed track vetoes the demotions; the scene-start repair
+    (label_scene re-labels the first TWO pairs with backcast tracks)
+    extends the recovery to the frames before confirmation exists."""
+
+    def test_slow_mover_keeps_its_motion(self):
+        # 6 m/s -> 0.6 m/frame: squarely in the null/snap demotion band.
+        w = World(seed=11)
+        vel = np.tile([4.2, 4.2, 0.0], (5, 1))  # |v| = 5.9 m/s
+        w.add_object((8.0, -3.0, 1.0), vel, n=320)
+        frames, results = run_labeler(w, 5)
+        for f in range(4):
+            delta = w.expected_delta(0, f)
+            err = prior_error(frames, results, 0, f, delta)
+            assert np.isfinite(err), f"pair {f}: slow mover uncovered"
+            assert err <= 0.25, (
+                f"pair {f}: slow mover prior err {err:.2f} "
+                f"(zeroed = {np.linalg.norm(delta):.2f})"
+            )
+
+    def test_static_object_stays_zero_in_snap_band(self):
+        """The veto must NOT shelter the fabrication the snap exists for: a
+        moderately sparse STATIC object re-sampled by successive sweeps
+        verifies spurious sub-tolerance deltas. Fabricated deltas have
+        random direction per frame, so no measured-confirmed track forms
+        and every pair's prior stays ~zero.
+
+        (ULTRA-sparse lone objects — tens of points at ~0.7 m spacing —
+        are a documented envelope: a multi-meter fabrication can pass the
+        null's big-delta bypass there; see the null_verdict comment in
+        training/ssl_labels.py for the measured reason the bypass stays.)"""
+        w = World(seed=12)
+        vel = np.zeros((5, 3))
+        w.add_object((9.0, 4.0, 1.0), vel, n=170, size=(5.0, 2.2, 1.8))
+        frames, results = run_labeler(w, 5)
+        for f in range(4):
+            _, _, prior, prior_valid = results[f]
+            m = (frames[f]["_inst"] == 1) & prior_valid
+            if m.sum() == 0:
+                continue
+            mags = np.linalg.norm(prior[m], axis=1)
+            assert float(mags.mean()) <= 0.25, (
+                f"pair {f}: static object acquired prior {mags.mean():.2f}"
+            )
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-v"])

@@ -357,10 +357,11 @@ def test_mean_sorted_pooling_parity(rng):
 
 
 def test_runner_scene_start_repair(tmp_path):
-    """After a scene completes, the runner re-estimates its FIRST pair with
-    the estimator's confirmed tracks rolled back (ClusterTracker.backcast)
-    — offline flow writing can borrow velocity continuity from the future
-    exactly like the label writers do."""
+    """After a scene completes, the runner re-estimates its first TWO pairs
+    with the estimator's confirmed tracks rolled back
+    (ClusterTracker.backcast) — offline flow writing can borrow velocity
+    continuity from the future exactly like the label writers do (tracks
+    only confirm from pair 2 onward, so pairs 0-1 ran track-less)."""
     import numpy as np
 
     from himo_tpu.data.dataset import SceneFlowDataset
@@ -399,9 +400,10 @@ def test_runner_scene_start_repair(tmp_path):
         return estimate
 
     stats = estimate_scene_flow(str(root), model="_test_repair", verbose=False)
-    assert stats["frames"] == 4  # 5 frames -> 4 pairs; repair not counted
-    assert len(calls) == 5  # 4 forward + 1 repair of pair 0
-    # The repair call sees a CONFIRMED track (backcast), where the original
+    assert stats["frames"] == 4  # 5 frames -> 4 pairs; repairs not counted
+    assert len(calls) == 6  # 4 forward + repairs of pairs 0 and 1
+    # The repair calls see a CONFIRMED track (backcast), where the original
     # pair-0 call saw none.
     assert calls[0][1] is False
+    assert calls[-2][1] is True
     assert calls[-1][1] is True
