@@ -44,6 +44,13 @@ class FleetConfig:
     # scores instances >= 3 m/s (0.3 m/frame), so a 0.15-0.2 m gate cannot
     # touch a scored object. 0 = off.
     static_gate: float = 0.0
+    # Host-prep worker threads. Frame prep is trivially cheap until the
+    # prior-conditioned flagship turns it into per-frame host DBSCAN +
+    # matching (~0.2-1.2 s/frame at 65k, measured) — 60x the per-frame
+    # device time. Prep parallelizes across SCENES (the velocity-continuity
+    # tracker is a per-scene sequential dependency) with a bounded lookahead
+    # window so memory stays ~(window x frames/scene x 5 MB).
+    prep_threads: int = 8
 
 
 def _pad(arr: np.ndarray, n: int, fill=0):
@@ -224,57 +231,68 @@ def run_fleet(
     with_prior = bool(getattr(model.config, "prior_feat", False))
 
     def producer():
-        # Warm the page cache for upcoming scene files through the native
-        # io_uring reader while the device crunches: reading a cold .h5 is
-        # the producer's only blocking I/O, and the scene AFTER the one
-        # being decoded is exactly what will block next.
-        preloaded: set = set()
-
-        def preload_ahead(i: int) -> None:
-            j = min(i + per_step, len(dataset) - 1)
-            ix = (
-                dataset.eval_index
-                if getattr(dataset, "eval_index", None) is not None
-                else dataset.data_index
-            )
-            sid = ix[j][0]
-            if sid in preloaded:
-                return
-            preloaded.add(sid)
-            try:
-                native.preload_files([dataset.directory / f"{sid}.h5"])
-            except Exception:
-                pass  # cache warming is best-effort
-
-        # Per-scene velocity-continuity trackers for the computed-prior
-        # path (frames arrive in scene order; disk ssl_prior wins when
-        # present — see frame_to_arrays).
-        trackers: Dict[str, object] = {}
-        buf: List[Tuple[int, Dict]] = []
+        ix = (
+            dataset.eval_index
+            if getattr(dataset, "eval_index", None) is not None
+            else dataset.data_index
+        )
+        # Contiguous per-scene index runs, in dataset order.
+        scenes: List[List[int]] = []
         for i in range(len(dataset)):
-            if defer_pack:
-                preload_ahead(i)
-            data = dataset[i]
-            tracker = None
-            if with_prior and "ssl_prior" not in data:
-                from himo_tpu.models.icp_flow import ClusterTracker
+            if scenes and ix[scenes[-1][-1]][0] == ix[i][0]:
+                scenes[-1].append(i)
+            else:
+                scenes.append([i])
 
-                tracker = trackers.setdefault(
-                    data.get("scene_id"), ClusterTracker()
+        def prep_scene(idxs: List[int]) -> List[Tuple[int, Dict]]:
+            """One worker owns a whole scene: the h5 file is touched by a
+            single thread, io_uring pre-warms it, and the velocity-
+            continuity tracker sees the scene's frames in order."""
+            if defer_pack:
+                try:
+                    native.preload_files(
+                        [dataset.directory / f"{ix[idxs[0]][0]}.h5"]
+                    )
+                except Exception:
+                    pass  # cache warming is best-effort
+            tracker = None
+            out = []
+            for i in idxs:
+                data = dataset[i]
+                if with_prior and tracker is None and "ssl_prior" not in data:
+                    from himo_tpu.models.icp_flow import ClusterTracker
+
+                    tracker = ClusterTracker()
+                out.append(
+                    (
+                        i,
+                        frame_to_arrays(
+                            data, config.num_points, with_history,
+                            defer_pack=defer_pack, with_prior=with_prior,
+                            tracker=tracker,
+                        ),
+                    )
                 )
-            buf.append(
-                (
-                    i,
-                    frame_to_arrays(
-                        data, config.num_points, with_history,
-                        defer_pack=defer_pack, with_prior=with_prior,
-                        tracker=tracker,
-                    ),
-                )
-            )
-            if len(buf) == per_step:
-                q.put(buf)
-                buf = []
+            return out
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        n_workers = max(1, int(config.prep_threads))
+        window = n_workers + 2  # bounded lookahead (memory cap)
+        buf: List[Tuple[int, Dict]] = []
+        with ThreadPoolExecutor(n_workers) as ex:
+            pending = [ex.submit(prep_scene, s) for s in scenes[:window]]
+            next_scene = len(pending)
+            while pending:
+                fut = pending.pop(0)
+                if next_scene < len(scenes):
+                    pending.append(ex.submit(prep_scene, scenes[next_scene]))
+                    next_scene += 1
+                for item in fut.result():
+                    buf.append(item)
+                    if len(buf) == per_step:
+                        q.put(buf)
+                        buf = []
         if buf:
             # Pad the final partial batch by repeating its last frame.
             while len(buf) < per_step:
