@@ -600,8 +600,23 @@ def _expand_painted_priors(
         if not np.isfinite(sp):
             continue
         r_hop = float(np.clip(2.5 * sp, 0.15, 0.45))
-        lo = seed.min(0) - 3 * r_hop
-        hi = seed.max(0) + 3 * r_hop
+        # Reach must span the SMEAR: a fast claim's inlier subset can be a
+        # strip at one end of a |delta|-long rolling-shutter smear (measured
+        # at 65k: a correct 2.5 m/frame claim painted only 45% of its
+        # object with the old fixed 3-hop reach) — the far end is still the
+        # same object. Every grown point is residual-verified against the
+        # pool under the delta below, so on DENSE claims the wider reach
+        # cannot leak onto background. On sparse claims (> 0.35 m spacing)
+        # that verification has no teeth (the 0.6 m residual cap passes
+        # almost anything) and a mis-measured alias delta would smear
+        # wider — keep the conservative 3-hop reach there (measured: a
+        # 2048-pt subsampled scene's 2.3x alias tipped past raw with the
+        # unconditional reach).
+        reach = 3 * r_hop
+        if sp <= 0.35:
+            reach = max(reach, float(np.linalg.norm(delta)) + 2 * r_hop)
+        lo = seed.min(0) - reach
+        hi = seed.max(0) + reach
         cand_ix = np.flatnonzero(
             expandable & np.all((p0 >= lo) & (p0 <= hi), axis=1)
         )
@@ -609,7 +624,7 @@ def _expand_painted_priors(
             continue
         in_set = np.zeros(len(cand_ix), bool)
         grow_seed = seed
-        for _ in range(3):
+        for _ in range(int(np.clip(np.ceil(reach / r_hop), 3, 10))):
             rest = ~in_set
             if not rest.any():
                 break
