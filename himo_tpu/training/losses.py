@@ -134,11 +134,23 @@ def seflowpp_loss(
     ``prior0``/``prior_valid0`` activate the cluster translation prior.
     ``gate_logit0`` activates the gate-head BCE term."""
     warped = pc0[:, :3] + flow
+    # Strong labels beat weak ones: prior-covered points keep their chamfer
+    # VALUE (they remain geometric evidence for both directions) but send no
+    # chamfer GRADIENT — on a rolling-shutter smear the chamfer's optimum is
+    # biased (any surface overlap scores well), and it measurably degraded
+    # verified priors (median output err 0.175 m on covered dynamic points
+    # whose raw prior err was 0.026; 120-epoch headline). prior_flow_loss is
+    # the sole flow gradient there.
+    warped_ch = warped
+    if prior_valid0 is not None:
+        warped_ch = jnp.where(
+            prior_valid0[:, None], jax.lax.stop_gradient(warped), warped
+        )
 
     # Both chamfer terms ride ONE fused NN pass (4 identical distance sweeps
     # otherwise dominate the train step — ops/nn.py fused_masked_nn).
     chamfer, dyn_chamfer = fused_chamfer_terms(
-        warped, pc1, valid0, valid1, dynamic0, dynamic1,
+        warped_ch, pc1, valid0, valid1, dynamic0, dynamic1,
         max_dist=max_dist, dynamic_max_dist=dynamic_max_dist,
     )
 
@@ -201,9 +213,16 @@ def seflowpp_loss_sampled(
     from himo_tpu.ops.nn import take_rows
 
     warped = pc0[:, :3] + flow
+    # Strong labels beat weak ones — see seflowpp_loss: covered points are
+    # chamfer geometry, not chamfer gradient.
+    warped_ch = warped
+    if prior_valid0 is not None:
+        warped_ch = jnp.where(
+            prior_valid0[:, None], jax.lax.stop_gradient(warped), warped
+        )
     # take_rows: the sample-take's transpose is a scatter-add back into the
     # full cloud — routed through the Pallas resident kernel on TPU.
-    w_l, v0_l = take_rows(warped, loss_idx0), valid0[loss_idx0]
+    w_l, v0_l = take_rows(warped_ch, loss_idx0), valid0[loss_idx0]
     d0_l = dynamic0[loss_idx0]
     p1_l, v1_l = pc1[loss_idx1, :3], valid1[loss_idx1]
     d1_l = dynamic1[loss_idx1]
