@@ -125,7 +125,7 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     return BATCH * n_valid / elapsed
 
 
-def measure_fleet_e2e() -> float:
+def measure_fleet_e2e(model_name: str = "seflowpp_noprior") -> float:
     """END-TO-END fleet throughput: h5 read -> host pack -> device flow
     inference + de-skew -> h5 flow write-back, via the public
     ``fleet_save`` surface (the path the reference leaves as a sequential
@@ -133,7 +133,13 @@ def measure_fleet_e2e() -> float:
 
     Dataset build + jit compile are excluded (first pass warms both); the
     measured pass pays every host cost: io_uring preload, h5 decode,
-    rigid_flow, native pack, tunnel transfer, and the final write-back."""
+    rigid_flow, native pack, tunnel transfer, and the final write-back.
+
+    Two modes: ``seflowpp_noprior`` measures the IO/pack/device pipeline
+    itself (the gap vs the compute-only headline is the host overhead);
+    ``seflowpp`` (the prior-conditioned flagship) additionally pays the
+    per-frame host cluster-prior computation in the scene-parallel
+    producer — the quality mode's true cost on unlabeled data."""
     import shutil
     from pathlib import Path
 
@@ -150,11 +156,11 @@ def measure_fleet_e2e() -> float:
         make_dataset(
             root, num_scenes=12, num_frames=5, num_background=64000, seed=0
         )
-    model, _ = make_model("seflowpp", dtype="bfloat16")
+    model, _ = make_model(model_name, dtype="bfloat16")
     params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
     config = FleetConfig(num_points=NUM_POINTS, batch_per_device=BATCH)
     common = dict(
-        model="seflowpp",
+        model=model_name,
         params=params,
         output_key="fleet_bench",
         config=config,
@@ -219,10 +225,16 @@ def main() -> dict:
         "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
         "secondary_256": round(secondary / 1e6, 3),
     }
-    # Host-inclusive fleet number (h5 -> pack -> device -> write-back); kept
-    # non-fatal so an IO hiccup cannot sink the compute headline.
+    # Host-inclusive fleet numbers (h5 -> pack -> device -> write-back);
+    # kept non-fatal so an IO hiccup cannot sink the compute headline.
+    # e2e_fleet_512: IO/pack/device pipeline (noprior net);
+    # e2e_fleet_prior: the prior-conditioned flagship on UNLABELED data,
+    # paying per-frame host cluster-prior computation (scene-parallel).
     try:
         result["e2e_fleet_512"] = round(measure_fleet_e2e() / 1e6, 3)
+        result["e2e_fleet_prior"] = round(
+            measure_fleet_e2e("seflowpp") / 1e6, 3
+        )
     except Exception as e:  # pragma: no cover - diagnostic path
         result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))

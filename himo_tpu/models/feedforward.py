@@ -75,6 +75,17 @@ class FlowNetConfig:
     # zero a fast object the prior already explains (the prior is zero on
     # static points by construction).
     prior_residual: bool = False
+    # Trust the prior VERBATIM where it exists (nonzero): flow = prior on
+    # covered points, gated residual elsewhere. Measured motivation
+    # (120-epoch headline, covered dynamic points): raw prior err
+    # 0.124 mean / 0.026 median, additive-residual output 0.235/0.103 even
+    # with the chamfer stop-grad — the pillar decoder's spatial smoothing
+    # cannot express "exactly zero here, 1.5 m next pillar", so its
+    # residual only pollutes measured motion. Verified-static covered
+    # points carry a zero-SNAPPED prior (also correct to emit) but are
+    # indistinguishable from uncovered movers by value, so they fall
+    # through to the gated residual, which prior_flow_loss trains to zero.
+    prior_trust: bool = False
     # Pillar pooling: 'max' (PointPillars-classic; scalar-store Pallas
     # kernels, ~21 ns/point floor) or 'mean_sorted' (points argsorted by
     # pillar id per sweep; mean pooling + feature gather ride the MXU
@@ -349,8 +360,15 @@ class SceneFlowNet(nn.Module):
                 cols[:, 3] if gate_logit is not None else None
             )
         if cfg.prior_residual and prior is not None:
-            # flow = prior + gated residual (see FlowNetConfig.prior_residual).
-            flow = flow + prior.astype(jnp.float32)
+            p32 = prior.astype(jnp.float32)
+            if cfg.prior_trust:
+                # flow = prior where covered, gated residual elsewhere
+                # (see FlowNetConfig.prior_trust).
+                covered = jnp.any(jnp.abs(p32) > 1e-6, axis=1, keepdims=True)
+                flow = jnp.where(covered, p32, flow)
+            else:
+                # flow = prior + gated residual (FlowNetConfig.prior_residual).
+                flow = flow + p32
         flow = jnp.where(valids[0][:, None], flow, 0.0)
         if with_gate:
             if gate_logit is None:
@@ -386,7 +404,7 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         # and both rows are reported in PARITY.md.
         "seflowpp": dict(
             decoder="deflow", num_frames=3, gate_head=True,
-            prior_feat=True, prior_residual=True,
+            prior_feat=True, prior_residual=True, prior_trust=True,
         ),
         "seflowpp_noprior": dict(decoder="deflow", num_frames=3, gate_head=True),
         "seflow": dict(decoder="deflow", num_frames=2, gate_head=True),
