@@ -125,7 +125,7 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     return BATCH * n_valid / elapsed
 
 
-def measure_fleet_e2e(model_name: str = "seflowpp_noprior") -> float:
+def measure_fleet_e2e(model_name: str = "seflowpp") -> float:
     """END-TO-END fleet throughput: h5 read -> host pack -> device flow
     inference + de-skew -> h5 flow write-back, via the public
     ``fleet_save`` surface (the path the reference leaves as a sequential
@@ -135,11 +135,12 @@ def measure_fleet_e2e(model_name: str = "seflowpp_noprior") -> float:
     measured pass pays every host cost: io_uring preload, h5 decode,
     rigid_flow, native pack, tunnel transfer, and the final write-back.
 
-    Two modes: ``seflowpp_noprior`` measures the IO/pack/device pipeline
-    itself (the gap vs the compute-only headline is the host overhead);
-    ``seflowpp`` (the prior-conditioned flagship) additionally pays the
-    per-frame host cluster-prior computation in the scene-parallel
-    producer — the quality mode's true cost on unlabeled data."""
+    Two modes: ``seflowpp`` (the net-only flagship, instance head included)
+    measures the IO/pack/device pipeline (the gap vs the compute-only
+    headline is the host overhead); ``seflowpp_trust`` (the prior-
+    conditioned offline hybrid) additionally pays the per-frame host
+    cluster-prior computation in the scene-parallel producer — the labeling
+    mode's true cost on unlabeled data."""
     import shutil
     from pathlib import Path
 
@@ -227,13 +228,14 @@ def main() -> dict:
     }
     # Host-inclusive fleet numbers (h5 -> pack -> device -> write-back);
     # kept non-fatal so an IO hiccup cannot sink the compute headline.
-    # e2e_fleet_512: IO/pack/device pipeline (noprior net);
-    # e2e_fleet_prior: the prior-conditioned flagship on UNLABELED data,
-    # paying per-frame host cluster-prior computation (scene-parallel).
+    # e2e_fleet_512: IO/pack/device pipeline (the net-only flagship);
+    # e2e_fleet_prior: the prior-conditioned offline hybrid on UNLABELED
+    # data, paying per-frame host cluster-prior computation (scene-
+    # parallel).
     try:
         result["e2e_fleet_512"] = round(measure_fleet_e2e() / 1e6, 3)
         result["e2e_fleet_prior"] = round(
-            measure_fleet_e2e("seflowpp") / 1e6, 3
+            measure_fleet_e2e("seflowpp_trust") / 1e6, 3
         )
     except Exception as e:  # pragma: no cover - diagnostic path
         result["e2e_error"] = f"{type(e).__name__}: {e}"[:200]

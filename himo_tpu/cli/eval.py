@@ -25,6 +25,7 @@ def main(
     res_name: str = "",
     comp_dis_zip: str = "",
     strict_parity: bool = False,  # reference 4-column distance-bucket norm
+    scene_filter: str = "",  # scene-id substring, e.g. "scene_adv"
 ) -> InstanceMetrics:
     data_name, source = check_valid(data_dir, res_name, comp_dis_zip)
     metrics = InstanceMetrics(data_name=data_name, strict_parity=strict_parity)
@@ -36,6 +37,8 @@ def main(
         range(len(dataset)), ncols=80, desc=f"Evaluating {res_name} on {data_name}"
     ):
         data = dataset[i]
+        if scene_filter and scene_filter not in str(data["scene_id"]):
+            continue
         frame = prepare_frame(
             data, data_name, res_name=res_name if source == EvalSource.FLOW else None
         )
@@ -55,7 +58,8 @@ def main(
             )
             metrics.step(est_dis=comp_dis[m], **common)
 
-    metrics.print(res_name=res_name, file_name=f"res-{data_name}.json")
+    suffix = f"-{scene_filter.strip('_')}" if scene_filter else ""
+    metrics.print(res_name=res_name, file_name=f"res-{data_name}{suffix}.json")
     return metrics
 
 

@@ -14,16 +14,26 @@ from himo_tpu.eval.flow_metrics import evaluate_flow_metrics
 from himo_tpu.utils.cli import run_cli
 
 
-def main(data_dir: str = "", res_names=("raw",), output_json: str = ""):
+def main(
+    data_dir: str = "",
+    res_names=("raw",),
+    output_json: str = "",
+    scene_filter: str = "",
+):
+    """``scene_filter`` (scene-id substring, e.g. ``scene_adv``) restricts
+    scoring to matching scenes and suffixes the output json ``-{filter}``."""
     from himo_tpu.core.dataset_id import infer_dataset_name
 
     if isinstance(res_names, str):
         res_names = [res_names]
     results = {}
     for name in res_names:
-        results[name] = evaluate_flow_metrics(data_dir, name)
+        results[name] = evaluate_flow_metrics(
+            data_dir, name, scene_filter=scene_filter
+        )
     data_name = infer_dataset_name(str(data_dir))
-    path = Path(output_json or f"res-flow-{data_name}.json")
+    suffix = f"-{scene_filter.strip('_')}" if scene_filter else ""
+    path = Path(output_json or f"res-flow-{data_name}{suffix}.json")
     existing = {}
     if path.exists():
         existing = json.loads(path.read_text())

@@ -34,13 +34,48 @@ SWEEP_DT = 0.1  # 10 Hz sensors
 
 @dataclasses.dataclass
 class BoxObject:
-    """A constant-velocity box object sampled as a surface point cloud."""
+    """A box object sampled as a surface point cloud.
+
+    Constant velocity by default; the adversarial extensions let benchmark
+    scenes exercise the conditions real data serves up (the matcher stress
+    suite's failure modes, scored here under the real eval):
+
+    - ``velocity_schedule``: per-frame (F, 3) m/s overriding ``velocity``
+      — stop-and-go, braking, acceleration. Position integrates the
+      schedule; the within-sweep smear and the GT flow use the frame's own
+      velocity (velocity changes at sweep boundaries).
+    - ``visible``: per-frame bools — FOV entry/exit mid-scene.
+    - ``occlude_frames``: frames where only the -y local half of the
+      surface is sampled (ray-shadow stand-in for partial occlusion).
+    """
 
     center: np.ndarray  # (3,) world position at scene t=0
     velocity: np.ndarray  # (3,) world m/s
     size: np.ndarray  # (3,) l, w, h
     category: str = "REGULAR_VEHICLE"
     points_per_frame: int = 400
+    velocity_schedule: Optional[np.ndarray] = None  # (F, 3)
+    visible: Optional[Sequence[bool]] = None
+    occlude_frames: Sequence[int] = ()
+
+    def velocity_at(self, fi: int) -> np.ndarray:
+        if self.velocity_schedule is None:
+            return np.asarray(self.velocity, np.float64)
+        return np.asarray(
+            self.velocity_schedule[min(fi, len(self.velocity_schedule) - 1)],
+            np.float64,
+        )
+
+    def base_at(self, fi: int) -> np.ndarray:
+        """World position at sweep ``fi`` start (schedule integrated)."""
+        if self.velocity_schedule is None:
+            return np.asarray(self.center, np.float64) + np.asarray(
+                self.velocity, np.float64
+            ) * (fi * SWEEP_DT)
+        disp = np.sum(
+            np.asarray(self.velocity_schedule[:fi], np.float64), axis=0
+        ) * SWEEP_DT if fi > 0 else 0.0
+        return np.asarray(self.center, np.float64) + disp
 
 
 def _sample_box_points(rng, n: int, size: np.ndarray) -> np.ndarray:
@@ -141,11 +176,19 @@ def make_scene(
 
         # --- object points (distorted by capture time) ---
         for oi, obj in enumerate(objects):
+            if obj.visible is not None and not obj.visible[min(fi, len(obj.visible) - 1)]:
+                continue
             n = obj.points_per_frame
             local = _sample_box_points(rng, n, obj.size)
+            if fi in tuple(obj.occlude_frames):
+                local = local[local[:, 1] <= 0.0]
+                n = len(local)
+                if n == 0:
+                    continue
+            vel_f = obj.velocity_at(fi)
             obj_dt = rng.uniform(0.0, SWEEP_DT, size=n).astype(np.float32)
-            base = obj.center + obj.velocity * t
-            world = base + local + obj.velocity[None, :] * obj_dt[:, None]
+            base = obj.base_at(fi)
+            world = base + local + vel_f[None, :] * obj_dt[:, None]
             chunks.append(world)
             dts.append(obj_dt)
             ids.append(rng.integers(1, num_lidars + 1, size=n).astype(np.uint8))
@@ -153,7 +196,7 @@ def make_scene(
             cats.append(
                 np.full(n, cat.CATEGORY_TO_INDEX[cat.NAME_MAPPING[obj.category]], np.uint8)
             )
-            vels.append(np.tile(obj.velocity, (n, 1)))
+            vels.append(np.tile(vel_f, (n, 1)))
             ground.append(np.zeros(n, dtype=bool))
 
         world_pts = np.concatenate(chunks).astype(np.float64)
@@ -248,6 +291,71 @@ def make_dataset(
     return output_dir
 
 
+def adversarial_objects(
+    rng, num_frames: int, kind: str, points_per_object: int = 400
+) -> List[BoxObject]:
+    """Objects for one adversarial scene (the matcher stress suite's
+    failure modes, scored under the real eval): 'crossing' paths that
+    intersect mid-scene, 'occlusion' (half-shadowed target near a clean
+    mover), 'stopgo' (brake to zero / pull away), 'enterleave' (FOV entry
+    and exit mid-scene)."""
+    car = np.array([4.5, 2.0, 1.6])
+    truck = np.array([9.0, 2.6, 3.2])
+    if kind == "crossing":
+        # Two fast objects whose paths cross between frames 1 and 2.
+        meet = np.array([14.0, 3.0, 1.0])
+        t_meet = (num_frames // 2) * SWEEP_DT
+        v1 = 18.0 * np.array([np.cos(0.4), np.sin(0.4), 0.0])
+        v2 = 22.0 * np.array([np.cos(2.4), np.sin(2.4), 0.0])
+        return [
+            BoxObject(meet - v1 * t_meet + [0, 1.6, 0], v1, car.copy(),
+                      "REGULAR_VEHICLE", points_per_object),
+            BoxObject(meet - v2 * t_meet - [0, 1.6, 0], v2, truck.copy(),
+                      "TRUCK", points_per_object),
+        ]
+    if kind == "occlusion":
+        # A mover half-shadowed in the middle frames next to a clean one.
+        occ = tuple(range(1, num_frames - 1))
+        return [
+            BoxObject(np.array([16.0, -4.0, 1.0]),
+                      np.array([20.0, 2.0, 0.0]), car.copy(),
+                      "REGULAR_VEHICLE", points_per_object,
+                      occlude_frames=occ),
+            BoxObject(np.array([-12.0, 8.0, 1.2]),
+                      np.array([-6.0, -14.0, 0.0]), truck.copy(),
+                      "TRUCK", points_per_object),
+        ]
+    if kind == "stopgo":
+        # Emergency brake to rest, and a pull-away from rest.
+        brake = np.zeros((num_frames, 3))
+        brake[:, 0] = np.maximum(24.0 - 12.0 * np.arange(num_frames), 0.0)
+        pull = np.zeros((num_frames, 3))
+        pull[:, 1] = np.minimum(6.0 * np.arange(num_frames), 16.0)
+        return [
+            BoxObject(np.array([10.0, 6.0, 1.0]), brake[0], car.copy(),
+                      "REGULAR_VEHICLE", points_per_object,
+                      velocity_schedule=brake),
+            BoxObject(np.array([-8.0, -10.0, 1.2]), pull[0], truck.copy(),
+                      "TRUCK", points_per_object, velocity_schedule=pull),
+        ]
+    if kind == "enterleave":
+        visible_late = [fi >= 1 for fi in range(num_frames)]
+        visible_early = [fi < num_frames - 1 for fi in range(num_frames)]
+        return [
+            BoxObject(np.array([20.0, 10.0, 1.0]),
+                      np.array([-19.0, -4.0, 0.0]), car.copy(),
+                      "REGULAR_VEHICLE", points_per_object,
+                      visible=visible_late),
+            BoxObject(np.array([-15.0, -6.0, 1.2]),
+                      np.array([8.0, 21.0, 0.0]), truck.copy(),
+                      "TRUCK", points_per_object, visible=visible_early),
+        ]
+    raise KeyError(f"unknown adversarial kind {kind!r}")
+
+
+ADVERSARIAL_KINDS = ("crossing", "occlusion", "stopgo", "enterleave")
+
+
 def make_benchmark_dataset(
     output_dir,
     num_scenes: int = 18,
@@ -256,6 +364,7 @@ def make_benchmark_dataset(
     objects_per_scene: int = 6,
     points_per_object: int = 400,
     num_background: int = 16000,
+    adversarial_scenes: int = 8,
     **scene_kwargs,
 ) -> Path:
     """Bucket-complete validation suite for quality-parity evidence.
@@ -265,6 +374,12 @@ def make_benchmark_dataset(
     OTHER_VEHICLES at ~6/15/25/34 m/s starting ~6/15/25/34 m out, with
     mixed tangential/radial headings so the distance buckets also fill from
     motion. Default 18 scenes x (num_frames - 1) eval frames = 54 frames.
+
+    ``adversarial_scenes`` appends ``scene_adv_*`` scenes cycling the
+    :data:`ADVERSARIAL_KINDS` (crossing / occlusion / stop-and-go /
+    FOV entry+exit) so the SCORED table also measures the conditions the
+    matcher stress suite exercises as pass/fail tests. Evaluate them
+    separately with the eval CLIs' ``scene_filter="scene_adv"``.
     """
     cat_specs = {
         "REGULAR_VEHICLE": np.array([4.5, 2.0, 1.6]),
@@ -305,6 +420,21 @@ def make_benchmark_dataset(
             num_frames=num_frames,
             seed=seed + si,
             objects=objects,
+            num_background=num_background,
+            ego_speed=5.0,
+            **scene_kwargs,
+        )
+    for ai in range(adversarial_scenes):
+        kind = ADVERSARIAL_KINDS[ai % len(ADVERSARIAL_KINDS)]
+        rng = np.random.default_rng(seed + 5000 + ai)
+        make_scene(
+            output_dir,
+            scene_id=f"scene_adv_{ai:03d}",
+            num_frames=num_frames,
+            seed=seed + 5000 + ai,
+            objects=adversarial_objects(
+                rng, num_frames, kind, points_per_object
+            ),
             num_background=num_background,
             ego_speed=5.0,
             **scene_kwargs,

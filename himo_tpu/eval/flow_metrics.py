@@ -88,8 +88,12 @@ def evaluate_flow_metrics(
     data_dir: str,
     res_name: str,
     verbose: bool = True,
+    scene_filter: str = "",
 ) -> Dict[str, float]:
-    """EPE/Acc metrics for a stored method flow over a dataset's eval index."""
+    """EPE/Acc metrics for a stored method flow over a dataset's eval index.
+
+    ``scene_filter`` restricts to frames whose scene id contains the
+    substring (e.g. ``"scene_adv"`` scores only the adversarial tranche)."""
     from tqdm import tqdm
 
     from himo_tpu.core.dataset_id import infer_dataset_name
@@ -106,6 +110,8 @@ def evaluate_flow_metrics(
         it = tqdm(it, ncols=100, desc=f"Flow metrics ({res_name})")
     for i in it:
         data = dataset[i]
+        if scene_filter and scene_filter not in str(data["scene_id"]):
+            continue
         frame = prepare_frame(data, data_name, res_name=res_name)
         foreground = np.asarray(data["flow_category_indices"]) > 0
         metrics.step(

@@ -92,6 +92,24 @@ class FlowNetConfig:
     # one-hot matmul kernels in ops/mxu_scatter.py — a few cycles/point,
     # and the backward is matmuls too).
     pooling: str = "max"
+    # In-net per-object rigid decoding (ops/components.py): the UNet emits a
+    # per-pillar dynamic logit image; its connected blobs (on-device CC) pool
+    # one rigid translation each from the per-point decoder output, and
+    # member points emit the POOLED mean instead of their own smooth
+    # residual. This is the architectural fix for the round-4 finding that
+    # the pillar decoder cannot express sharp per-object motion: training
+    # differentiates THROUGH the pooling, so the net only has to get each
+    # object's mean right while the dynamic mask supplies the boundary.
+    # Requires gate_head (the gate weights the pooling and cuts static
+    # points). Replaces the reference's train-time-only SSL clustering with
+    # an equivalent inductive bias that survives into pure feed-forward
+    # inference.
+    instance_head: bool = False
+    instance_stride: int = 2  # coarse CC cell = stride x pillar voxel
+    instance_reach: int = 2  # Chebyshev connect radius in coarse cells
+    instance_iters: int = 24  # label diameter = iters * reach cells
+    instance_slots: int = 128  # per-frame component budget
+    instance_min_pts: float = 5.0  # min pooling mass to trust a mean
     # Learned static-vs-dynamic gate head (himo_tpu extension): the decoder
     # emits a 4th channel g and the network returns sigmoid(g) * flow.
     # Supervised with BCE against the SSL dynamic mask (losses.gate_loss)
@@ -168,11 +186,17 @@ def _upsample_nearest(x, h: int, w: int):
 
 
 class UNet(nn.Module):
-    """Pseudo-image backbone with skip connections."""
+    """Pseudo-image backbone with skip connections.
+
+    ``aux_channels`` appends UN-activated channels to the final conv (the
+    instance head's per-pillar dynamic LOGIT must be able to go negative;
+    the relu'd feature channels cannot). Returns ``(features, aux)`` when
+    aux_channels > 0, ``features`` alone otherwise."""
 
     depths: Sequence[int]
     out_channels: int
     dtype: jnp.dtype
+    aux_channels: int = 0
 
     @nn.compact
     def __call__(self, x):
@@ -186,7 +210,11 @@ class UNet(nn.Module):
                 x = jnp.concatenate([x, skip], axis=-1)
             x = ConvBlock(ch, self.dtype)(x)
         x = _upsample_nearest(x, x.shape[-3] * 2, x.shape[-2] * 2)
-        x = nn.Conv(self.out_channels, (3, 3), dtype=self.dtype)(x)
+        x = nn.Conv(
+            self.out_channels + self.aux_channels, (3, 3), dtype=self.dtype
+        )(x)
+        if self.aux_channels:
+            return nn.relu(x[..., : self.out_channels]), x[..., self.out_channels :]
         return nn.relu(x)
 
 
@@ -241,7 +269,7 @@ class SceneFlowNet(nn.Module):
     @nn.compact
     def __call__(
         self, sweeps, valids, prior=None, with_gate: bool = False,
-        soft_gate: bool = False,
+        soft_gate: bool = False, with_aux: bool = False,
     ):
         """
         Args:
@@ -258,6 +286,11 @@ class SceneFlowNet(nn.Module):
                 0.9 gate would shrink a 3 m dynamic flow by 0.3 m, wrecking
                 the strict-accuracy metrics, while the hard cut keeps full
                 magnitude on open gates and exact zero on closed ones.
+            with_aux: return ``(flow, aux)`` where aux carries the gate
+                logits, the instance head's per-pillar dynamic logit image
+                (``dyn_logit``, for its BCE supervision), and the per-point
+                component slot (``slot``, -1 = none) — superset of
+                ``with_gate`` for training/diagnostics.
         """
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -314,20 +347,75 @@ class SceneFlowNet(nn.Module):
             # overhead paid once (ops/voxelize.py scatter_max_multi).
             images = scatter_max_multi(images, grids)
         x = jnp.concatenate(images, axis=-1).astype(dtype)
-        out_img = UNet(cfg.depths, cfg.base_channels * 2, dtype)(x)
+        unet = UNet(
+            cfg.depths, cfg.base_channels * 2, dtype,
+            aux_channels=1 if cfg.instance_head else 0,
+        )
+        slot_img = None
+        dyn_logit = None
+        if cfg.instance_head:
+            if not cfg.gate_head:
+                raise ValueError("instance_head requires gate_head")
+            from himo_tpu.ops.components import (
+                component_slots,
+                connected_components_grid,
+            )
 
+            out_img, dyn_raw = unet(x)
+            dyn_logit = dyn_raw[..., 0].astype(jnp.float32)
+            s = cfg.instance_stride
+            # Coarse occupancy = strided max-pool of the dynamic logits
+            # (any dynamic evidence inside the coarse cell keeps it).
+            occ = (
+                jax.lax.reduce_window(
+                    dyn_logit, -jnp.inf, jax.lax.max, (s, s), (s, s), "VALID"
+                )
+                > 0.0
+            )
+            labels = connected_components_grid(
+                occ, iters=cfg.instance_iters, reach=cfg.instance_reach
+            )
+            slot_enc, _ = component_slots(labels, cfg.instance_slots)
+            # slot+1 encoding (0 = none) survives the zero-masked gather;
+            # values <= instance_slots stay exact even through bf16.
+            slot_img = _upsample_nearest(
+                slot_enc.astype(jnp.float32)[..., None], h, w
+            )
+        else:
+            out_img = unet(x)
+
+        slot_pt = None
         if sorted_mode:
             order0, spids0 = sweep0
             flat = out_img.reshape(hw, -1).astype(jnp.float32)
+            if slot_img is not None:
+                # The slot rides the pillar gather as one extra channel
+                # (row-take width is nearly free — see _take_cols note).
+                flat = jnp.concatenate([flat, slot_img.reshape(hw, 1)], axis=1)
             flat = jnp.concatenate(
                 [flat, jnp.zeros((8, flat.shape[1]), flat.dtype)]
             )
-            pillar_feat = gather_rows_sorted(
+            gathered = gather_rows_sorted(
                 spids0, flat, num_rows=hw,
                 mxu_bf16=dtype == jnp.bfloat16,
-            ).astype(dtype)
+            )
+            if slot_img is not None:
+                pillar_feat = gathered[:, :-1].astype(dtype)
+                slot_pt = gathered[:, -1].astype(jnp.float32)
+            else:
+                pillar_feat = gathered.astype(dtype)
         else:
-            pillar_feat = gather_pillars(out_img, grids[0]).astype(dtype)
+            img = out_img
+            if slot_img is not None:
+                img = jnp.concatenate(
+                    [out_img, slot_img.astype(out_img.dtype)], axis=-1
+                )
+            gathered = gather_pillars(img, grids[0])
+            if slot_img is not None:
+                pillar_feat = gathered[..., :-1].astype(dtype)
+                slot_pt = gathered[..., -1].astype(jnp.float32)
+            else:
+                pillar_feat = gathered.astype(dtype)
         point_feat = feats[0]
         if cfg.decoder == "deflow":
             out = DeFlowGRUDecoder(
@@ -340,10 +428,6 @@ class SceneFlowNet(nn.Module):
         gate_logit = None
         if cfg.gate_head:
             flow, gate_logit = out
-            if soft_gate:
-                flow = flow * jax.nn.sigmoid(gate_logit)[:, None]
-            else:
-                flow = jnp.where((gate_logit > 0.0)[:, None], flow, 0.0)
         else:
             flow = out
         flow = flow.astype(jnp.float32)
@@ -352,13 +436,45 @@ class SceneFlowNet(nn.Module):
             # through the Pallas sum-scatter (XLA's unsorted scatter-add of
             # the incoming gradient would cost ~70 ns/point).
             inv = jnp.argsort(sweep0[0]).astype(jnp.int32)
-            cols = flow
+            extras = []
             if gate_logit is not None:
-                cols = jnp.concatenate([flow, gate_logit[:, None]], axis=1)
-            cols = take_rows(cols, inv)
-            flow, gate_logit = cols[:, :3], (
-                cols[:, 3] if gate_logit is not None else None
+                extras.append(gate_logit[:, None])
+            if slot_pt is not None:
+                extras.append(slot_pt[:, None])
+            cols = take_rows(
+                jnp.concatenate([flow] + extras, axis=1) if extras else flow,
+                inv,
             )
+            flow = cols[:, :3]
+            c = 3
+            if gate_logit is not None:
+                gate_logit = cols[:, c]
+                c += 1
+            if slot_pt is not None:
+                slot_pt = cols[:, c]
+        slot = None
+        if cfg.instance_head:
+            # Per-object rigid pooling: member points (in a slotted
+            # component, inside the grid) emit their component's
+            # gate-weighted mean flow instead of their own smooth residual.
+            from himo_tpu.ops.components import pool_by_slot
+
+            slot = jnp.round(slot_pt).astype(jnp.int32) - 1  # -1 = none
+            slot = jnp.where(grids[0].in_range, slot, -1)
+            gate_w = (
+                jax.nn.sigmoid(gate_logit)
+                if soft_gate
+                else (gate_logit > 0.0).astype(jnp.float32)
+            )
+            pooled, ok = pool_by_slot(
+                flow, gate_w, slot, cfg.instance_slots, cfg.instance_min_pts
+            )
+            flow = jnp.where(ok[:, None], pooled, flow)
+        if cfg.gate_head:
+            if soft_gate:
+                flow = flow * jax.nn.sigmoid(gate_logit)[:, None]
+            else:
+                flow = jnp.where((gate_logit > 0.0)[:, None], flow, 0.0)
         if cfg.prior_residual and prior is not None:
             p32 = prior.astype(jnp.float32)
             if cfg.prior_trust:
@@ -370,6 +486,15 @@ class SceneFlowNet(nn.Module):
                 # flow = prior + gated residual (FlowNetConfig.prior_residual).
                 flow = flow + p32
         flow = jnp.where(valids[0][:, None], flow, 0.0)
+        if with_aux:
+            aux = {}
+            if gate_logit is not None:
+                aux["gate_logit"] = gate_logit.astype(jnp.float32)
+            if dyn_logit is not None:
+                aux["dyn_logit"] = dyn_logit
+            if slot is not None:
+                aux["slot"] = slot
+            return flow, aux
         if with_gate:
             if gate_logit is None:
                 raise ValueError("with_gate=True requires config.gate_head")
@@ -392,26 +517,41 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         # gate — trained against the same SSL dynamic evidence the losses
         # already use — zeroes static residual in the model itself.
         #
-        # The himo_tpu flagship ``seflowpp`` is PRIOR-CONDITIONED: the
-        # verified cluster translation prior — computed self-supervised
-        # from the same (pc0, pc1) pair at inference time by the fleet
-        # (parallel/fleet.frame_to_arrays) — enters as 3 PFN channels AND
-        # as the residual base (flow = prior + gated residual). This is the
-        # high-speed capability HiMo exists for: the reference buys it with
-        # 110k real training frames (/root/reference/README.md:95); the
-        # TPU rebuild buys it with measured per-pair motion evidence. The
-        # pure feed-forward ablation stays available as ``seflowpp_noprior``
-        # and both rows are reported in PARITY.md.
+        # ``seflowpp`` is the reference-parity deployment profile: a PURE
+        # feed-forward net — SSL cluster evidence (dynamic masks + verified
+        # translation priors) supervises TRAINING only, inference touches no
+        # host clustering (/root/reference/assets/slurm/ssl-train-av2.sh:
+        # 31-34 feeds +ssl_label at train time; README.md:46-53's save.py is
+        # a net forward). The per-object capacity the reference net learns
+        # from 110k real frames is built in architecturally instead: the
+        # instance head (ops/components.py) pools one rigid translation per
+        # predicted-dynamic blob, on device, inside the same jit.
         "seflowpp": dict(
+            decoder="deflow", num_frames=3, gate_head=True, instance_head=True,
+        ),
+        # Ablation: same recipe without the instance head (the pre-round-5
+        # point-wise decoder) — its delta against seflowpp is the instance
+        # head's contribution.
+        "seflowpp_noprior": dict(decoder="deflow", num_frames=3, gate_head=True),
+        # ``seflowpp_trust`` is the OFFLINE/labeling hybrid (round 4's
+        # flagship, renamed — its quality is partly the host matcher's, not
+        # the network's, so it must not collide with the reference's pure
+        # feed-forward SeFlow++ name): the verified cluster translation
+        # prior — computed on the host from the same (pc0, pc1) pair by the
+        # fleet producer (parallel/fleet.frame_to_arrays), 0.2-1.2 s/frame —
+        # enters as 3 PFN channels, as the residual base, and is emitted
+        # VERBATIM on covered points (prior_trust). Use it where label
+        # quality beats latency: autolabeling, dataset refinement.
+        "seflowpp_trust": dict(
             decoder="deflow", num_frames=3, gate_head=True,
             prior_feat=True, prior_residual=True, prior_trust=True,
         ),
-        "seflowpp_noprior": dict(decoder="deflow", num_frames=3, gate_head=True),
         "seflow": dict(decoder="deflow", num_frames=2, gate_head=True),
         # Back-compat alias (pre-round-4 name of the prior-conditioned net;
-        # feature-channels only, no residual composition).
+        # feature-channels only — no residual composition, no gate head, so
+        # pre-round-4 checkpoints restore unchanged).
         "seflowpp_prior": dict(
-            decoder="deflow", num_frames=3, prior_feat=True, gate_head=True
+            decoder="deflow", num_frames=3, prior_feat=True
         ),
     }
     if name not in presets:
@@ -487,6 +627,6 @@ def _feedforward_estimator(name: str):
 
 for _name in (
     "fastflow3d", "deflow", "deflowpp", "seflow", "seflowpp",
-    "seflowpp_noprior", "seflowpp_prior",
+    "seflowpp_noprior", "seflowpp_trust", "seflowpp_prior",
 ):
     register_estimator(_name)(_feedforward_estimator(_name))

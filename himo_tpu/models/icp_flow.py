@@ -642,17 +642,26 @@ def _cluster_spacing(pts: np.ndarray) -> float:
     return float(np.median(nn_residual_distances(pts[0::2], pts[1::2])))
 
 
-def _connected_body(pc0: np.ndarray, labels0: np.ndarray, cid: int):
+def _connected_body(
+    pc0: np.ndarray, labels0: np.ndarray, cid: int, eligible0=None
+):
     """Cluster ``cid``'s points plus its hop-connected unlabeled
     neighborhood (training/ssl_labels.complete_cluster_bodies on a
     single-cluster view): the zero-explanation reference for
     :func:`recover_split_translations` — the object's own body including
-    the under-threshold interior, but not background or other clusters."""
+    the under-threshold interior, but not background or other clusters.
+
+    ``eligible0`` (the caller's non-ground mask) keeps ground out of the
+    completion — complete_cluster_bodies' hop spacing assumes non-ground
+    density, and absorbed ground beneath an object would zero-explain
+    nearby pool points and weaken the must-move check."""
     from himo_tpu.training.ssl_labels import complete_cluster_bodies
 
     labels0 = np.asarray(labels0)
     one = np.where(labels0 == cid, 1, 0).astype(np.uint16)
     eligible = labels0 == 0
+    if eligible0 is not None:
+        eligible = eligible & np.asarray(eligible0, bool)
     completed = complete_cluster_bodies(pc0, one, eligible)
     return pc0[completed > 0]
 
@@ -1215,6 +1224,7 @@ def match_cluster_translations(
     track_priors=None,
     track_meas=None,
     measured_out=None,
+    eligible0=None,
 ):
     """Translation seeds from VERIFIED 1-1 cluster matching.
 
@@ -1477,7 +1487,7 @@ def match_cluster_translations(
                 # scatter; while the bare cluster misses a slow object's
                 # unflagged interior and shelters fabricated large deltas
                 # (sparse slow-mover stress scene).
-                zero_ref=_connected_body(pc0, labels0, i + 1),
+                zero_ref=_connected_body(pc0, labels0, i + 1, eligible0),
             )
             if found:
                 init_t[i] = found[0][0]  # largest split seeds the cluster

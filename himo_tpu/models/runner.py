@@ -216,16 +216,19 @@ def estimate_scene_flow(
             if tr is None or n_pairs < 3:
                 continue
             # Backcast from the scene-END tracker state (each repair's
-            # process() call mutates trackers[sid], so roll back from the
-            # preserved original).
+            # process() call mutates trackers[sid], so swap the backcast in
+            # and restore the preserved original in a finally — a raise
+            # mid-repair must not leave the shared dict holding the
+            # backcast copy).
             back = tr.backcast(n_frames=n_pairs - j)
             if not back.tracks:
                 continue
-            trackers[f"_end_{sid}"] = tr  # preserve across repairs
             trackers[sid] = back
             key, sub = jax.random.split(key)
-            process(idx, sub)
-            trackers[sid] = trackers.pop(f"_end_{sid}")
+            try:
+                process(idx, sub)
+            finally:
+                trackers[sid] = tr
 
     elapsed = time.perf_counter() - start
     if verbose:

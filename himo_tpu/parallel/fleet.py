@@ -45,12 +45,21 @@ class FleetConfig:
     # touch a scored object. 0 = off.
     static_gate: float = 0.0
     # Host-prep worker threads. Frame prep is trivially cheap until the
-    # prior-conditioned flagship turns it into per-frame host DBSCAN +
-    # matching (~0.2-1.2 s/frame at 65k, measured) — 60x the per-frame
-    # device time. Prep parallelizes across SCENES (the velocity-continuity
-    # tracker is a per-scene sequential dependency) with a bounded lookahead
-    # window so memory stays ~(window x frames/scene x 5 MB).
+    # prior-conditioned hybrid (seflowpp_trust) turns it into per-frame host
+    # DBSCAN + matching (~0.2-1.2 s/frame at 65k, measured) — 60x the
+    # per-frame device time. Prep parallelizes across SCENES (the velocity-
+    # continuity tracker is a per-scene sequential dependency) with a
+    # bounded lookahead window so memory stays ~(window x frames/scene x
+    # 5 MB).
     prep_threads: int = 8
+    # Where prior-conditioned models get their cluster prior:
+    # - 'auto': reuse on-disk ssl_prior when the label writers ran (their
+    #   priors include the scene-start BACKCAST repair, which reads future
+    #   frames — training-consistent but NON-CAUSAL), else compute fresh;
+    # - 'fresh': always compute the CAUSAL per-pair prior in the producer
+    #   (ignores ssl_prior) — the honest deployment/eval setting;
+    # - 'disk': require ssl_prior (raise when absent) — offline labeling.
+    prior_source: str = "auto"
 
 
 def _pad(arr: np.ndarray, n: int, fill=0):
@@ -72,6 +81,7 @@ def frame_to_arrays(
     defer_pack: bool = False,
     with_prior: bool = False,
     tracker=None,
+    prior_source: str = "auto",
 ) -> Dict:
     """One dataset frame -> fixed-size arrays for the fleet step.
 
@@ -112,11 +122,18 @@ def frame_to_arrays(
         out["pc_hist"] = ph
         out["valid_hist"] = vh
     if with_prior:
-        if "ssl_prior" in data:
+        use_disk = prior_source in ("auto", "disk") and "ssl_prior" in data
+        if prior_source == "disk" and "ssl_prior" not in data:
+            raise ValueError(
+                "prior_source='disk' but the frame carries no ssl_prior — "
+                "run the label writers first or use 'auto'/'fresh'"
+            )
+        if use_disk:
             # Training data already carries the label writer's priors —
             # including the measured-velocity slow-mover recovery and the
-            # scene-start backcast repair — so inference is EXACTLY
-            # training-consistent (and the host DBSCAN is skipped).
+            # scene-start backcast repair (which reads FUTURE frames:
+            # training-consistent but non-causal; use prior_source='fresh'
+            # for causal evaluation) — so the host DBSCAN is skipped.
             prior_full = np.asarray(data["ssl_prior"], np.float32)
             if "ssl_prior_valid" in data:
                 pv = np.asarray(data["ssl_prior_valid"], bool)
@@ -259,7 +276,14 @@ def run_fleet(
             out = []
             for i in idxs:
                 data = dataset[i]
-                if with_prior and tracker is None and "ssl_prior" not in data:
+                if (
+                    with_prior
+                    and tracker is None
+                    and (
+                        config.prior_source == "fresh"
+                        or "ssl_prior" not in data
+                    )
+                ):
                     from himo_tpu.models.icp_flow import ClusterTracker
 
                     tracker = ClusterTracker()
@@ -270,6 +294,7 @@ def run_fleet(
                             data, config.num_points, with_history,
                             defer_pack=defer_pack, with_prior=with_prior,
                             tracker=tracker,
+                            prior_source=config.prior_source,
                         ),
                     )
                 )

@@ -47,6 +47,11 @@ class SSLLossWeights:
     # logits and the SSL dynamic mask. Active only when the model emits
     # gate logits.
     gate_loss: float = 1.0
+    # Instance head's per-pillar dynamic image supervision (himo_tpu
+    # extension, models/feedforward.py instance_head): class-balanced BCE
+    # between the UNet's dynamic logit image and the scattered SSL
+    # object-positive mask. Active only when the model emits the image.
+    dyn_img_loss: float = 1.0
 
 
 def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
@@ -103,6 +108,31 @@ def gate_bce_loss(
     y = dynamic.astype(jnp.float32)
     bce = jax.nn.softplus(-gate_logit) + (1.0 - y) * gate_logit
     return _masked_mean(bce, valid)
+
+
+def dyn_image_loss(
+    dyn_logit: jax.Array,  # (H, W) instance-head dynamic logit image
+    pc0: jax.Array,  # (N, 3) ego-compensated sweep 0
+    valid0: jax.Array,
+    obj_pos: jax.Array,  # (N,) bool object-positive SSL evidence
+    pillar,
+) -> jax.Array:
+    """Class-balanced per-pillar BCE for the instance head's dynamic image.
+
+    A pillar is positive iff any of its points carries object-positive SSL
+    evidence (the paint-expanded priors complete the interior the raw
+    dynamic mask misses — see seflowpp_loss). Dynamic pillars are ~1-2% of
+    the grid, so the positive and negative means are balanced separately —
+    a flat mean would let the background wash out the object gradient, and
+    the occupancy this image drives gates every pooled instance."""
+    from himo_tpu.ops.voxelize import scatter_max, voxelize_pillars
+
+    grid = voxelize_pillars(pc0, valid0, pillar)
+    img = scatter_max(obj_pos.astype(jnp.float32)[:, None], grid)[..., 0]
+    y = img > 0.5
+    x = dyn_logit
+    bce = jax.nn.softplus(-x) + jnp.where(y, 0.0, x)
+    return 0.5 * (_masked_mean(bce, y) + _masked_mean(bce, ~y))
 
 
 def _assemble(weights: SSLLossWeights, terms: Dict[str, jax.Array]):

@@ -417,6 +417,7 @@ def translation_priors(
         recover_cand1=np.asarray(dynamic1, bool),
         return_splits=True, track_priors=track_priors,
         track_meas=track_meas, measured_out=measured,
+        eligible0=eligible0,
     )
     prior = np.zeros((len(pc0_comp), 3), np.float32)
     prior_valid = np.zeros(len(pc0_comp), bool)

@@ -272,14 +272,17 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
         else None
     )
     gate_logit = None
+    dyn_logit = None
     if getattr(model.config, "gate_head", False):
         # soft_gate: training differentiates THROUGH the sigmoid gate (flow
         # losses can hold a gate open against a noisy BCE label); inference
         # uses the hard >0.5 cut (models/feedforward.py).
-        flow, gate_logit = model.apply(
+        flow, aux = model.apply(
             params, tuple(sweeps), tuple(valids), prior_in,
-            with_gate=True, soft_gate=True,
+            with_aux=True, soft_gate=True,
         )
+        gate_logit = aux.get("gate_logit")
+        dyn_logit = aux.get("dyn_logit")
     else:
         flow = model.apply(params, tuple(sweeps), tuple(valids), prior_in)
     dynamic1 = b.get("dynamic1", b["valid1"])
@@ -320,6 +323,17 @@ def _frame_flow_and_loss(model: SceneFlowNet, config: TrainConfig, params, b):
             b["cluster0"],
             **common,
         )
+    if dyn_logit is not None:
+        from himo_tpu.training.losses import dyn_image_loss
+
+        obj_pos = b["dynamic0"]
+        if "prior_valid0" in b:
+            obj_pos = obj_pos | b["prior_valid0"]
+        dl = dyn_image_loss(
+            dyn_logit, b["pc0"], b["valid0"], obj_pos, model.config.pillar
+        )
+        losses["dyn_img_loss"] = dl
+        losses["total"] = losses["total"] + config.weights.dyn_img_loss * dl
     return flow, losses
 
 

@@ -62,10 +62,17 @@ def run_one(args, root: Path, seed: int) -> dict:
 
         train_models = [args.model]
         if args.ablate_noprior and args.model == "seflowpp":
-            # Pure feed-forward ablation row: same recipe, no prior input
-            # (the prior-conditioned flagship's delta over it is the
-            # matcher's contribution at inference).
+            # Point-wise-decoder ablation row: same recipe, no instance
+            # head (its delta against the flagship is the in-net
+            # per-object pooling's contribution).
             train_models.append("seflowpp_noprior")
+        if args.trust and args.model == "seflowpp":
+            # Offline/labeling hybrid row (round 4's flagship): prior-
+            # conditioned + verbatim trust. Evaluated with CAUSAL fresh
+            # priors (prior_source='fresh') — the on-disk ssl_prior carries
+            # the non-causal scene-start backcast repair, which would
+            # flatter the row (ADVICE round 4).
+            train_models.append("seflowpp_trust")
         for tm in train_models:
             config = TrainConfig(
                 model=tm,
@@ -92,7 +99,12 @@ def run_one(args, root: Path, seed: int) -> dict:
                 model=tm,
                 params=params,
                 output_key=tm,
-                config=FleetConfig(num_points=args.num_points),
+                config=FleetConfig(
+                    num_points=args.num_points,
+                    # Trust row: causal per-pair priors, not the label
+                    # writer's non-causal backcast-repaired ones.
+                    prior_source="fresh" if tm == "seflowpp_trust" else "auto",
+                ),
             )
             methods.append(tm)
 
@@ -110,38 +122,49 @@ def run_one(args, root: Path, seed: int) -> dict:
             print(f"  {m}: {time.time() - t1:.0f}s")
             methods.append(m)
 
-    print("[4/5] HiMo CDE/MPE eval")
+    print("[4/5] HiMo CDE/MPE eval (full + adversarial tranche)")
     from himo_tpu.cli.eval import main as eval_main
 
     all_methods = ["raw"] + methods
     for m in all_methods:
         eval_main(data_dir=str(root), res_name=m)
+        eval_main(data_dir=str(root), res_name=m, scene_filter="scene_adv")
 
-    print("[5/5] EPE/Acc flow metrics")
+    print("[5/5] EPE/Acc flow metrics (full + adversarial tranche)")
     from himo_tpu.cli.eval_flow import main as eval_flow_main
 
     flow_res = eval_flow_main(data_dir=str(root), res_names=all_methods)
+    flow_res_adv = eval_flow_main(
+        data_dir=str(root), res_names=all_methods, scene_filter="scene_adv"
+    )
 
-    himo_res = json.loads(Path("res-av2.json").read_text())["av2"]
-    table = {}
-    for m in all_methods:
-        he = himo_res.get(m, {})
-        cde = mpe = float("nan")
-        if he:
-            cats = [he[c]["overall"] for c in ("CAR", "OTHER_VEHICLES") if c in he]
-            pts = sum(c["num_pts"] for c in cats)
-            cde = sum(c["cd"] * c["num_pts"] for c in cats) / max(pts, 1)
-            mpe = sum(c["mpe"] * c["num_pts"] for c in cats) / max(pts, 1)
-        fe = flow_res.get(m, {})
-        table[m] = {
-            "CDE": cde,
-            "MPE": mpe,
-            "EPE_3way": fe.get("EPE_3way", float("nan")),
-            "EPE_FD": fe.get("EPE_FD", float("nan")),
-            "EPE_BS": fe.get("EPE_BS", float("nan")),
-            "AccS": fe.get("AccS", float("nan")),
-            "AccR": fe.get("AccR", float("nan")),
-        }
+    def rows(himo_json: str, flow: dict, tag: str) -> dict:
+        himo_res = json.loads(Path(himo_json).read_text())["av2"]
+        out = {}
+        for m in all_methods:
+            he = himo_res.get(m, {})
+            cde = mpe = float("nan")
+            if he:
+                cats = [
+                    he[c]["overall"] for c in ("CAR", "OTHER_VEHICLES") if c in he
+                ]
+                pts = sum(c["num_pts"] for c in cats)
+                cde = sum(c["cd"] * c["num_pts"] for c in cats) / max(pts, 1)
+                mpe = sum(c["mpe"] * c["num_pts"] for c in cats) / max(pts, 1)
+            fe = flow.get(m, {})
+            out[m + tag] = {
+                "CDE": cde,
+                "MPE": mpe,
+                "EPE_3way": fe.get("EPE_3way", float("nan")),
+                "EPE_FD": fe.get("EPE_FD", float("nan")),
+                "EPE_BS": fe.get("EPE_BS", float("nan")),
+                "AccS": fe.get("AccS", float("nan")),
+                "AccR": fe.get("AccR", float("nan")),
+            }
+        return out
+
+    table = rows("res-av2.json", flow_res, "")
+    table.update(rows("res-av2-scene_adv.json", flow_res_adv, " [adv]"))
     return table
 
 
@@ -173,7 +196,13 @@ def main():
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument(
         "--ablate-noprior", action="store_true",
-        help="also train/report the seflowpp_noprior ablation row",
+        help="also train/report the seflowpp_noprior (no instance head) "
+        "ablation row",
+    )
+    ap.add_argument(
+        "--trust", action="store_true",
+        help="also train/report the seflowpp_trust offline hybrid row "
+        "(causal fresh priors at eval)",
     )
     ap.add_argument("--skip-opt", action="store_true")
     ap.add_argument(
