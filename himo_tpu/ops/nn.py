@@ -29,10 +29,13 @@ SENTINEL = 1.0e6  # coordinates of padded rows; ~1e12 squared distance
 _QT = 128  # query tile (one VMEM sublane-dim tile)
 # Reference tile: env-tunable (HIMO_NN_RT) — larger tiles amortize per-grid-
 # step overhead at more VMEM per block; read once at import so every padding
-# site in a process agrees. Default 1024 from the round-5 chip A/B on the
-# fused masked-min loss shape (B8 16k x 16k, median of 7): RT=256 36.1 ms,
-# RT=512 26.7 ms, RT=1024 21.8 ms, RT=2048 measured separately worse-or-
-# equal under the VMEM cap (see PARITY.md round-5 kernel table).
+# site in a process agrees. Round-5 chip sweep on the fused masked-min loss
+# shape (B8 16k x 16k, median of 7): RT=256 36.1 ms, 512 26.7, 1024 21.8,
+# 1536 20.4, 2048 19.4, 4096 17.1, 8192 compile-timeout. The isolated win
+# does NOT move the full train step (378 ms at 1024 vs 376 at 4096 — the
+# loss NN is no longer the binding stage), so the default stays at 1024:
+# the last tile size that is both near the flat part of the curve and
+# small enough to avoid padding blowup on sub-4096 clouds.
 import os as _os
 
 _RT = int(_os.environ.get("HIMO_NN_RT", "1024"))

@@ -71,7 +71,7 @@ def _pad(arr: np.ndarray, n: int, fill=0):
 
 # Heavy float32 keys whose pad+stack defers to the native threaded packer
 # at batch-assembly time (everything else is cheap bools/scalars).
-_PACK_KEYS = ("pc0", "pc1", "pose_flow", "dt0", "pc_hist", "prior")
+_PACK_KEYS = ("pc0", "pc1", "dt0", "pc_hist", "prior")
 
 
 def frame_to_arrays(
@@ -87,17 +87,23 @@ def frame_to_arrays(
 
     ``defer_pack=True`` leaves the float32 keys UNPADDED (raw ``(n, C)``
     arrays); :func:`stack_fleet_batch` then pads+stacks them in one
-    multithreaded pass through ``native.pack_frames`` (TODO §systems: wire
-    the C++ batch packer into the hot host loops)."""
+    multithreaded pass through ``native.pack_frames``.
+
+    Tunnel-bandwidth design (round 5: the e2e fleet gap decomposed to
+    host<->device transfer over the axon tunnel): pc0 ships RAW with the
+    (4, 4) relative ego pose, and the jitted step derives the pose flow on
+    device — one fewer (N, 3) float32 upload per frame. The host-side
+    ``rigid_flow`` is only computed when the prior path needs the
+    compensated cloud for clustering."""
     xyz0 = data["pc0"][:, :3].astype(np.float32)
     xyz1 = data["pc1"][:, :3].astype(np.float32)
-    pflow = rigid_flow(xyz0, data["pose0"], data["pose1"]).astype(np.float32)
+    rel_pose = relative_pose(data["pose0"], data["pose1"]).astype(np.float32)
     lidar_dt = data["lidar_dt"].astype(np.float32)
     dt0 = lidar_dt.max() - lidar_dt
 
     fit = (lambda a: (a[:num_points], min(len(a), num_points))) if defer_pack \
         else (lambda a: _pad(a, num_points))
-    p0, n0 = fit((xyz0 + pflow).astype(np.float32))
+    p0, n0 = fit(xyz0)
     p1, n1 = fit(xyz1)
     v0 = np.zeros(num_points, bool)
     v0[:n0] = ~data["gm0"][:n0]
@@ -108,7 +114,7 @@ def frame_to_arrays(
         "pc1": p1,
         "valid0": v0,
         "valid1": v1,
-        "pose_flow": fit(pflow.astype(np.float32))[0],
+        "rel_pose": rel_pose,
         "dt0": fit(dt0)[0],
         "num_real": n0,
         "num_total": len(xyz0),  # original cloud size (may exceed the budget)
@@ -147,6 +153,9 @@ def frame_to_arrays(
             # optimization seeds that only need what chamfer can't reach).
             from himo_tpu.models.nsfp import cluster_prior_flow
 
+            pflow = rigid_flow(
+                xyz0, data["pose0"], data["pose1"]
+            ).astype(np.float32)
             comp_full = xyz0 + pflow
             prior_full = np.asarray(
                 cluster_prior_flow(
@@ -187,12 +196,31 @@ def stack_fleet_batch(frames: List[Dict], num_points: int) -> Dict:
     return out
 
 
-def make_fleet_step(model, params, config: FleetConfig):
-    """Jitted batched step: flow inference + de-skew -> comp_dis, refined."""
+def make_fleet_step(model, params, config: FleetConfig, outputs=None):
+    """Jitted batched step: flow inference + de-skew -> comp_dis, refined.
+
+    ``outputs`` (subset of {"comp_dis", "refined", "flow"}, None = all)
+    trims the device->host readback: over the axon tunnel every returned
+    (N, 3) array costs real wall-clock (the e2e gap decomposed to transfer
+    bandwidth), and fleet_save only consumes ``flow``."""
     num_frames = model.config.num_frames
 
     def one(params, frame):
-        sweeps = [frame["pc0"], frame["pc1"]]
+        # Pose flow on DEVICE from the (4, 4) relative ego pose: pc0 ships
+        # raw, saving one (N, 3) f32 upload per frame. HIGHEST precision —
+        # the MXU's bf16 truncation on ~50 m coordinates costs ~0.2 m.
+        rel = frame["rel_pose"]
+        xyz0 = frame["pc0"]
+        pose_flow = (
+            jnp.einsum(
+                "nc,rc->nr", xyz0, rel[:3, :3],
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            + rel[:3, 3][None, :]
+            - xyz0
+        )
+        pc0_comp = xyz0 + pose_flow
+        sweeps = [pc0_comp, frame["pc1"]]
         valids = [frame["valid0"], frame["valid1"]]
         if num_frames >= 3:
             sweeps.append(frame["pc_hist"])
@@ -205,12 +233,16 @@ def make_fleet_step(model, params, config: FleetConfig):
             residual = jnp.where(mag >= config.static_gate, residual, 0.0)
         comp_dis = residual * (frame["dt0"] / config.sensor_dt)[:, None]
         comp_dis = jnp.where(frame["valid0"][:, None], comp_dis, 0.0)
-        # frame["pc0"] is ego-compensated (xyz0 + pose_flow); the de-skewed
-        # cloud lives in the ORIGINAL ego0 frame: xyz0 + comp_dis — matching
-        # core.deskew / reference refine_pts semantics.
-        refined = frame["pc0"] - frame["pose_flow"] + comp_dis
-        total_flow = frame["pose_flow"] + residual
-        return {"comp_dis": comp_dis, "refined": refined, "flow": total_flow}
+        # The de-skewed cloud lives in the ORIGINAL ego0 frame:
+        # xyz0 + comp_dis — matching core.deskew / reference refine_pts.
+        out = {
+            "comp_dis": comp_dis,
+            "refined": xyz0 + comp_dis,
+            "flow": pose_flow + residual,
+        }
+        if outputs is not None:
+            out = {k: v for k, v in out.items() if k in outputs}
+        return out
 
     @jax.jit
     def step(params, batch):
@@ -226,18 +258,20 @@ def run_fleet(
     mesh=None,
     config: FleetConfig = FleetConfig(),
     consumer: Optional[Callable[[int, Dict, Dict], None]] = None,
+    outputs=None,
 ) -> Dict[str, float]:
     """De-distort every frame of ``dataset`` across the mesh.
 
     ``consumer(frame_index, host_arrays, outputs)`` receives per-frame
     results (already trimmed to real points) for writing; ``None`` measures
-    throughput only.
+    throughput only. ``outputs`` restricts which arrays come back from the
+    device (see make_fleet_step — readback bandwidth is the e2e cost).
     """
     mesh = mesh or make_mesh()
     n_shards = mesh.devices.shape[0]
     per_step = config.batch_per_device * n_shards
     with_history = model.config.num_frames >= 3
-    step = make_fleet_step(model, params, config)
+    step = make_fleet_step(model, params, config, outputs=outputs)
 
     q: "queue.Queue" = queue.Queue(maxsize=config.prefetch)
     stop = object()
@@ -330,30 +364,42 @@ def run_fleet(
     frames = 0
     points = 0
     start = time.perf_counter()
-    while True:
-        item = q.get()
-        if item is stop:
-            break
-        indices = [i for i, _ in item]
-        stacked = stack_fleet_batch([f for _, f in item], config.num_points)
-        outputs = step(params, shard_batch(mesh, stacked))
+
+    def drain(pending) -> None:
+        """Read back + consume one completed step (called AFTER the next
+        step is dispatched, so the device computes batch k+1 while batch
+        k's results cross the tunnel)."""
+        nonlocal frames, points
+        item, out = pending
         if consumer is not None:
-            outputs = jax.device_get(outputs)
+            out = jax.device_get(out)
             for b, (i, host) in enumerate(item):
                 if i < 0:
                     continue
                 n = host["num_real"]
                 consumer(
-                    i,
-                    host,
-                    {k: np.asarray(v[b][:n]) for k, v in outputs.items()},
+                    i, host, {k: np.asarray(v[b][:n]) for k, v in out.items()}
                 )
-        for b, (i, host) in enumerate(item):
+        for i, host in item:
             if i >= 0:
                 frames += 1
                 points += host["num_real"]
-    # Force completion of the last dispatched step.
-    jax.tree.map(lambda x: np.asarray(x[0, 0]), outputs) if consumer is None else None
+
+    pending = None
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        stacked = stack_fleet_batch([f for _, f in item], config.num_points)
+        out = step(params, shard_batch(mesh, stacked))
+        if pending is not None:
+            drain(pending)
+        pending = (item, out)
+    if pending is not None:
+        if consumer is None:
+            # Force completion of the last dispatched step.
+            jax.tree.map(lambda x: np.asarray(x[0, 0]), pending[1])
+        drain(pending)
     elapsed = time.perf_counter() - start
     return {
         "frames": frames,
@@ -425,7 +471,8 @@ def fleet_save(
         pending[i] = flow[:n]
 
     stats = run_fleet(
-        dataset, net, params, mesh=mesh, config=config, consumer=consumer
+        dataset, net, params, mesh=mesh, config=config, consumer=consumer,
+        outputs=("flow",),  # the write-back needs nothing else off-device
     )
     for i, flow in sorted(pending.items()):
         scene_id, timestamp = index[i]
