@@ -85,7 +85,12 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
     params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
 
     def frame(params, pc0, pc1, pc_hist, valid, dt0):
-        flow = model.apply(params, (pc0, pc1, pc_hist), (valid, valid, valid))
+        # dts feeds the refine head's de-smear (ops/refine.py) — part of
+        # the deployment config, so the headline pays for it honestly.
+        flow = model.apply(
+            params, (pc0, pc1, pc_hist), (valid, valid, valid),
+            dts=(dt0, dt0),
+        )
         comp_dis = flow * (dt0 / 0.1)[:, None]
         return pc0 + comp_dis
 

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from himo_tpu.models.registry import register_estimator
 from himo_tpu.ops.mxu_scatter import gather_rows_sorted, scatter_sum_sorted
 from himo_tpu.ops.nn import take_rows
+from himo_tpu.ops.refine import RefineConfig
 from himo_tpu.ops.voxelize import (
     PillarConfig,
     gather_pillars,
@@ -125,6 +126,17 @@ class FlowNetConfig:
     # 0.4 m resolution plus +-4.8 m at 1.6 m resolution.
     corr_volume: bool = False
     corr_radii: Tuple[int, int] = (4, 3)
+    # On-device per-slot refinement (ops/refine.py): trimmed translation-ICP
+    # against the second sweep's dynamic neighborhood, seeded by the instance
+    # head's pooled mean, verified by a matched-residual score, with a null
+    # test that snaps statics to exact zero. The jittable analog of the host
+    # matcher — the network proposes the object mask + a coarse seed, the
+    # geometry supplies the measurement. Measurement, not learning: wrapped
+    # in stop_gradient and active at inference (``refine`` arg defaults to
+    # ``not soft_gate``), so training still differentiates through the
+    # pooling. Requires instance_head.
+    refine_head: bool = False
+    refine: RefineConfig = RefineConfig()
     # Learned static-vs-dynamic gate head (himo_tpu extension): the decoder
     # emits a 4th channel g and the network returns sigmoid(g) * flow.
     # Supervised with BCE against the SSL dynamic mask (losses.gate_loss)
@@ -317,6 +329,7 @@ class SceneFlowNet(nn.Module):
     def __call__(
         self, sweeps, valids, prior=None, with_gate: bool = False,
         soft_gate: bool = False, with_aux: bool = False,
+        refine: Optional[bool] = None, dts=None,
     ):
         """
         Args:
@@ -338,6 +351,11 @@ class SceneFlowNet(nn.Module):
                 (``dyn_logit``, for its BCE supervision), and the per-point
                 component slot (``slot``, -1 = none) — superset of
                 ``with_gate`` for training/diagnostics.
+            refine: run the per-slot geometric refinement
+                (``config.refine_head``); defaults to ``not soft_gate`` —
+                on for inference, off for the differentiated training pass.
+            dts: optional ``(dt0, dt1)`` per-point sweep times for the
+                refiner's de-smear regression (ops/refine.py).
         """
         cfg = self.config
         dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
@@ -554,6 +572,33 @@ class SceneFlowNet(nn.Module):
             else:
                 # flow = prior + gated residual (FlowNetConfig.prior_residual).
                 flow = flow + p32
+        if (
+            cfg.instance_head
+            and cfg.refine_head
+            and (refine if refine is not None else not soft_gate)
+        ):
+            # Geometric verification pass (see FlowNetConfig.refine_head):
+            # confident slots emit the ICP-refined translation — overriding
+            # the pooled mean, the gate, AND the prior (a wrong host prior
+            # is corrected by the measurement; an unverifiable one is kept).
+            from himo_tpu.ops.refine import refine_flow
+
+            w0 = gate_w
+            if cfg.prior_residual and prior is not None:
+                w0 = jnp.maximum(
+                    w0,
+                    jnp.any(
+                        jnp.abs(prior.astype(jnp.float32)) > 1e-6, axis=1
+                    ).astype(jnp.float32),
+                )
+            flow = refine_flow(
+                flow, sweeps[0][:, :3].astype(jnp.float32), slot, valids[0],
+                w0, sweeps[1][:, :3].astype(jnp.float32), valids[1],
+                dyn_logit, grids[1].pillar_ids, grids[1].in_range,
+                cfg.instance_slots, cfg.refine,
+                dt0=None if dts is None else dts[0],
+                dt1=None if dts is None else dts[1],
+            )
         flow = jnp.where(valids[0][:, None], flow, 0.0)
         if with_aux:
             aux = {}
@@ -597,7 +642,7 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         # predicted-dynamic blob, on device, inside the same jit.
         "seflowpp": dict(
             decoder="deflow", num_frames=3, gate_head=True, instance_head=True,
-            corr_volume=True,
+            corr_volume=True, refine_head=True,
         ),
         # Ablation: same recipe without the instance head (the pre-round-5
         # point-wise decoder; the correlation volume stays, so the ablation
@@ -615,10 +660,16 @@ def make_model(name: str, **overrides) -> Tuple[SceneFlowNet, FlowNetConfig]:
         # enters as 3 PFN channels, as the residual base, and is emitted
         # VERBATIM on covered points (prior_trust). Use it where label
         # quality beats latency: autolabeling, dataset refinement.
+        # Round 5 adds the instance + refine heads to the hybrid too: the
+        # host prior is still emitted verbatim where nothing better is
+        # known, but slots the on-device ICP verifies emit the MEASURED
+        # translation instead — wrong matcher priors (21 of 324 fast
+        # frame-instances at 65k, round-4 diagnostic) get corrected by
+        # geometry rather than trusted blindly.
         "seflowpp_trust": dict(
             decoder="deflow", num_frames=3, gate_head=True,
             prior_feat=True, prior_residual=True, prior_trust=True,
-            corr_volume=True,
+            corr_volume=True, instance_head=True, refine_head=True,
         ),
         "seflow": dict(decoder="deflow", num_frames=2, gate_head=True),
         # Back-compat alias (pre-round-4 name of the prior-conditioned net;
@@ -660,7 +711,8 @@ def _feedforward_estimator(name: str):
             params = load_checkpoint(checkpoint)["params"]
 
         @jax.jit
-        def _estimate(pc0, pc1, valid0, valid1, key=None, history=None, prior=None):
+        def _estimate(pc0, pc1, valid0, valid1, key=None, history=None,
+                      prior=None, dts=None):
             sweeps = [pc0[:, :3], pc1[:, :3]]
             valids = [valid0, valid1]
             if config.num_frames >= 3:
@@ -670,7 +722,9 @@ def _feedforward_estimator(name: str):
                 else:
                     sweeps.append(history[0][:, :3])
                     valids.append(history[1])
-            flow = model.apply(params, tuple(sweeps), tuple(valids), prior)
+            flow = model.apply(
+                params, tuple(sweeps), tuple(valids), prior, dts=dts
+            )
             return flow, jnp.zeros(())
 
         trackers = {}  # per-scene velocity continuity for the prior channel
@@ -689,7 +743,11 @@ def _feedforward_estimator(name: str):
                     pc0, pc1, valid0, valid1,
                     dt0=dt0, dt1=dt1, tracker=tracker, pose1=pose1,
                 )
-            return _estimate(pc0, pc1, valid0, valid1, key, history, prior)
+            dts = None
+            if config.refine_head and dt0 is not None and dt1 is not None:
+                dts = (jnp.asarray(dt0), jnp.asarray(dt1))
+            return _estimate(pc0, pc1, valid0, valid1, key, history, prior,
+                             dts)
 
         # Let callers (models/runner.py) know how many sweeps to feed.
         estimate.num_frames = config.num_frames

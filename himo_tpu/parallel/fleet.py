@@ -71,7 +71,7 @@ def _pad(arr: np.ndarray, n: int, fill=0):
 
 # Heavy float32 keys whose pad+stack defers to the native threaded packer
 # at batch-assembly time (everything else is cheap bools/scalars).
-_PACK_KEYS = ("pc0", "pc1", "dt0", "pc_hist", "prior")
+_PACK_KEYS = ("pc0", "pc1", "dt0", "dt1", "pc_hist", "prior")
 
 
 def frame_to_arrays(
@@ -82,6 +82,7 @@ def frame_to_arrays(
     with_prior: bool = False,
     tracker=None,
     prior_source: str = "auto",
+    with_dts: bool = False,
 ) -> Dict:
     """One dataset frame -> fixed-size arrays for the fleet step.
 
@@ -119,6 +120,14 @@ def frame_to_arrays(
         "num_real": n0,
         "num_total": len(xyz0),  # original cloud size (may exceed the budget)
     }
+    if with_dts:
+        # pc1 capture times for the refine head's de-smeared matching
+        # (ops/refine.py); pc0's come free — the device inverts dt0 back
+        # (lidar_dt = dt0.max() - dt0), so only ONE extra (N,) f32 ships.
+        dt1_raw = data.get("lidar_dt1")
+        if dt1_raw is None:
+            dt1_raw = np.zeros(len(xyz1), np.float32)
+        out["dt1"] = fit(np.asarray(dt1_raw, np.float32))[0]
     if with_history:
         xyzp = data["pc_prev"][:, :3].astype(np.float32)
         rel = relative_pose(data["pose_prev"], data["pose1"])
@@ -225,8 +234,14 @@ def make_fleet_step(model, params, config: FleetConfig, outputs=None):
         if num_frames >= 3:
             sweeps.append(frame["pc_hist"])
             valids.append(frame["valid_hist"])
+        dts = None
+        if getattr(model.config, "refine_head", False) and "dt1" in frame:
+            # dt0 ships as compensation weights (max - capture time);
+            # invert on device — padded rows are 0 and never raise the max.
+            dts = (jnp.max(frame["dt0"]) - frame["dt0"], frame["dt1"])
         residual = model.apply(
-            params, tuple(sweeps), tuple(valids), frame.get("prior")
+            params, tuple(sweeps), tuple(valids), frame.get("prior"),
+            dts=dts,
         )
         if config.static_gate > 0:
             mag = jnp.linalg.norm(residual, axis=1, keepdims=True)
@@ -280,6 +295,7 @@ def run_fleet(
 
     defer_pack = native.available()
     with_prior = bool(getattr(model.config, "prior_feat", False))
+    with_dts = bool(getattr(model.config, "refine_head", False))
 
     def producer():
         ix = (
@@ -329,6 +345,7 @@ def run_fleet(
                             defer_pack=defer_pack, with_prior=with_prior,
                             tracker=tracker,
                             prior_source=config.prior_source,
+                            with_dts=with_dts,
                         ),
                     )
                 )

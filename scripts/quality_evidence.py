@@ -242,6 +242,12 @@ def main():
         if len(seeds) > 1:
             print_table([tables[-1]])
     print_table(tables)
+    # Persist the seeded evidence (res-av2.json only keeps the LAST seed):
+    # per-seed tables so round-over-round deltas stay falsifiable against
+    # the measured spread (round-4 verdict #5).
+    Path("res-seeded.json").write_text(
+        json.dumps({"seeds": seeds, "tables": tables}, indent=1)
+    )
 
 
 if __name__ == "__main__":
