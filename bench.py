@@ -62,7 +62,9 @@ def lidar_like_cloud(rng, batch: int, n: int) -> np.ndarray:
     return out
 
 
-def measure(pillar_voxel: float, model_cache: dict) -> float:
+def measure(
+    pillar_voxel: float, model_cache: dict, model_name: str = "seflowpp"
+) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +82,7 @@ def measure(pillar_voxel: float, model_cache: dict) -> float:
             f"HIMO_BENCH_POOLING={pooling!r} is not one of ('max', 'mean_sorted')"
         )
     model, config = make_model(
-        "seflowpp", pillar=pillar, dtype="bfloat16", pooling=pooling
+        model_name, pillar=pillar, dtype="bfloat16", pooling=pooling
     )
     params = init_params(model, jax.random.PRNGKey(0), num_points=NUM_POINTS)
 
@@ -231,6 +233,15 @@ def main() -> dict:
         "vs_baseline": round(headline / PER_CHIP_TARGET, 3),
         "secondary_256": round(secondary / 1e6, 3),
     }
+    # Decomposition row: the net WITHOUT the in-net instance/ICP
+    # verification heads (round-4's deployment profile). The headline pays
+    # for geometric verification honestly; this field shows its cost.
+    try:
+        result["secondary_noprior_512"] = round(
+            measure(0.2, cache, model_name="seflowpp_noprior") / 1e6, 3
+        )
+    except Exception as e:  # pragma: no cover - diagnostic path
+        result["noprior_error"] = f"{type(e).__name__}: {e}"[:160]
     # Host-inclusive fleet numbers (h5 -> pack -> device -> write-back);
     # kept non-fatal so an IO hiccup cannot sink the compute headline.
     # e2e_fleet_512: IO/pack/device pipeline (the net-only flagship);
