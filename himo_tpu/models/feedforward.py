@@ -231,11 +231,16 @@ def _bev_correlation(f0: jax.Array, f1: jax.Array, radius: int) -> jax.Array:
     temps per offset in the backward — 23.2 G vs 15.75 G HBM, measured
     round 5). ``lax.map`` over offsets keeps one offset's temporaries live
     at a time and accumulates the f1 gradient in the scan carry; the body
-    is a (H, W, C) FMA + reduce, far too small to miss the VPU."""
+    is checkpointed so the backward REcomputes each step's shifted slice
+    from the loop-invariant padded image instead of stacking all (2r+1)^2
+    of them as saved residuals (f32[81,8,256,256,32] = 21.7 GB, the second
+    measured OOM); the body is a (H, W, C) FMA + reduce, far too small to
+    miss the VPU."""
     h, w, c = f0.shape
     win = 2 * radius + 1
     f1p = jnp.pad(f1, ((radius, radius), (radius, radius), (0, 0)))
 
+    @jax.checkpoint
     def one(k):
         dy, dx = k // win, k % win
         shifted = jax.lax.dynamic_slice(f1p, (dy, dx, 0), (h, w, c))
