@@ -243,7 +243,11 @@ def _bev_correlation(f0: jax.Array, f1: jax.Array, radius: int) -> jax.Array:
     @jax.checkpoint
     def one(k):
         dy, dx = k // win, k % win
-        shifted = jax.lax.dynamic_slice(f1p, (dy, dx, 0), (h, w, c))
+        # k's dtype for the literal too: a python 0 promotes to int64 under
+        # jax_enable_x64 (multihost) and dynamic_slice rejects mixed index
+        # dtypes.
+        zero = jnp.zeros((), k.dtype)
+        shifted = jax.lax.dynamic_slice(f1p, (dy, dx, zero), (h, w, c))
         return jnp.sum(f0 * shifted, axis=-1) / c
 
     cols = jax.lax.map(one, jnp.arange(win * win, dtype=jnp.int32))
