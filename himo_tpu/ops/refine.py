@@ -271,20 +271,46 @@ def refine_slot_translations(
     # variant costs 2.3x the min pass (TODO.md chip measurement).
     qs_f, rs_f = _coords(delta)
     d2_f = nn_distance_sq(qs_f, rs_f, query_valid=qvalid, ref_valid=rvalid)
-    rf = jnp.minimum(jnp.sqrt(jnp.maximum(d2_f, 0.0)), cfg.cap)
-    md, mass_f = _slot_mean(onehot, rf[:, None], qvalid.astype(jnp.float32))
+    rcap = jnp.minimum(jnp.sqrt(jnp.maximum(d2_f, 0.0)), cfg.cap)
+    md, mass_f = _slot_mean(onehot, rcap[:, None], qvalid.astype(jnp.float32))
     md = md[:, 0]
     # Null pass: the same score at delta = 0. If zero explains the match as
     # well as the refined translation, the component is static — emit EXACT
-    # zero (the host matcher's null/snap veto, on device).
-    d2_0 = nn_distance_sq(qf, r, query_valid=qvalid, ref_valid=rvalid)
+    # zero (the host matcher's null/snap veto, on device). Uses _pass so
+    # the residual/dt pairs come out too (fixed-point veto below).
+    d2_0, resid0, ddt0, same0 = _pass(jnp.zeros_like(delta))
     r0 = jnp.minimum(jnp.sqrt(jnp.maximum(d2_0, 0.0)), cfg.cap)
     m0, _ = _slot_mean(onehot, r0[:, None], qvalid.astype(jnp.float32))
     m0 = m0[:, 0]
+    # Fixed-point veto on the null: a raw small zero-offset residual is NOT
+    # evidence of rest under heavy rolling-shutter smear — at |v|*T ~
+    # displacement the two slabs overlap, so m0 is small for a genuinely
+    # moving object (measured round 5: 15-24 m/s crossing / stop-and-go
+    # movers were snapped to exact zero, slot coverage 1.00, gate open).
+    # The de-smeared WLS is smear-proof: regressing resid = e*(1+ddt/T)
+    # from the ZERO seed still recovers the motion, so zero is only a
+    # credible hypothesis when it is (approximately) a fixed point of the
+    # regression.
+    dist0 = jnp.sqrt(jnp.maximum(d2_0, 0.0))
+    w0n = (qvalid & same0).astype(jnp.float32) * (
+        dist0 < cfg.taus[0]
+    ).astype(jnp.float32)
+    z0 = 1.0 + ddt0 / period
+    aug0 = jnp.concatenate(
+        [resid0 * z0[:, None], (z0 * z0)[:, None]], axis=1
+    ) * w0n[:, None]
+    sums0 = jax.lax.dot_general(
+        onehot, aug0, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    e0 = sums0[:, 0:3] / jnp.maximum(sums0[:, 3], 1e-6)[:, None]
+    null_fixed = jnp.linalg.norm(e0, axis=1) <= jnp.maximum(
+        0.5 * jnp.linalg.norm(delta, axis=1), cfg.snap_delta
+    )
 
     conf = seed_ok & (mass_f >= cfg.min_inliers) & (md < cfg.accept)
     small = jnp.linalg.norm(delta, axis=1) < cfg.snap_delta
-    null_wins = m0 <= md * cfg.null_margin + cfg.null_abs
+    null_wins = (m0 <= md * cfg.null_margin + cfg.null_abs) & null_fixed
     snapped = conf & (small | null_wins)
     delta = jnp.where(snapped[:, None], 0.0, delta)
     return delta, conf, snapped

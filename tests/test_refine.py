@@ -238,3 +238,45 @@ def test_flagship_refine_head_end_to_end(preset):
         params, sweeps, valids, with_aux=True, soft_gate=True
     )
     assert "slot" in aux and np.isfinite(np.asarray(flow_t)).all()
+
+
+def test_fixed_point_veto_keeps_overlapping_slab_movers():
+    """Round-5 regression: a long dense mover whose rolling-shutter slab
+    overlaps its next-frame slab (displacement < object length) makes the
+    RAW zero-offset residual nearly as small as the refined one — the old
+    null test snapped such objects (15-24 m/s crossing / stop-and-go
+    movers in the adversarial tranche) to exact zero. The de-smeared WLS
+    from a zero seed still recovers the motion, so zero fails the
+    fixed-point veto and the mover must survive with its translation."""
+    rng = np.random.default_rng(3)
+    v = np.array([15.0, 0.0, 0.0])  # 1.5 m/frame, 12 m long -> 87% overlap
+    n_obj, n_bg = 800, 1000
+    size = (12.0, 2.5, 2.5)
+    c = np.array([5.0, 2.0, 1.0])
+    dt0 = rng.uniform(0.0, SWEEP_DT, size=n_obj + n_bg).astype(np.float32)
+    dt1 = rng.uniform(0.0, SWEEP_DT, size=n_obj + n_bg).astype(np.float32)
+    o0 = _box_points(rng, n_obj, c, size) + v * dt0[:n_obj, None]
+    o1 = (
+        _box_points(rng, n_obj, c, size)
+        + v * SWEEP_DT
+        + v * dt1[:n_obj, None]
+    )
+    bg0 = rng.uniform(-30, 30, size=(n_bg, 3)).astype(np.float32)
+    bg1 = rng.uniform(-30, 30, size=(n_bg, 3)).astype(np.float32)
+    p0 = np.concatenate([o0, bg0]).astype(np.float32)
+    p1 = np.concatenate([o1, bg1]).astype(np.float32)
+    slot = np.full(len(p0), -1, np.int32)
+    slot[:n_obj] = 0
+    max_slots = 4
+    seed = jnp.zeros((max_slots, 3)).at[0].set(jnp.asarray(v * SWEEP_DT * 0.6))
+    seed_ok = jnp.zeros(max_slots, bool).at[0].set(True)
+    delta, conf, snapped = refine_slot_translations(
+        jnp.asarray(p0), jnp.asarray(slot), jnp.ones(len(p0), bool),
+        seed, seed_ok, jnp.asarray(p1), jnp.ones(len(p1), bool), max_slots,
+        qdt=jnp.asarray(dt0), rdt=jnp.asarray(dt1),
+    )
+    assert bool(conf[0])
+    assert not bool(snapped[0]), "overlapping-slab mover snapped to zero"
+    np.testing.assert_allclose(
+        np.asarray(delta[0]), v * SWEEP_DT, atol=0.12
+    )
